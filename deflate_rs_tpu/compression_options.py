@@ -1,0 +1,132 @@
+"""Compression level / option presets.
+
+Mirrors the reference's configuration surface one-to-one
+(compression_options.rs:31-196): the same four knobs with the same names and
+preset values, so levels are directly comparable.
+
+The vectorized matcher interprets ``max_hash_checks`` as the number of hash
+bucket candidates probed per position (the first K links of the equivalent
+hash chain), capped at a TPU-friendly static width.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+HIGH_MAX_HASH_CHECKS = 1768
+HIGH_LAZY_IF_LESS_THAN = 128
+MAX_HASH_CHECKS = 32 * 1024
+DEFAULT_MAX_HASH_CHECKS = 128
+DEFAULT_LAZY_IF_LESS_THAN = 32
+
+# Static cap on the vectorized candidate width; chain positions beyond this
+# are rarely profitable and cost K-proportional probe bandwidth.
+KERNEL_MAX_CANDIDATES = 32
+
+
+class MatchingType(enum.Enum):
+    """Whether to use lazy or greedy matching (lz77.rs:27)."""
+
+    Greedy = "greedy"
+    Lazy = "lazy"
+
+
+class SpecialOptions(enum.Enum):
+    """Special compression strategies (compression_options.rs:52-59).
+
+    Unlike the reference (which reserves but does not implement them), both
+    force modes are functional here.
+    """
+
+    Normal = "normal"
+    ForceFixed = "force_fixed"
+    ForceStored = "force_stored"
+
+
+class Compression(enum.Enum):
+    """Simplified compression level selector (compression_options.rs:31-42)."""
+
+    Fast = "fast"
+    Default = "default"
+    Best = "best"
+
+
+@dataclass(frozen=True)
+class CompressionOptions:
+    """Tunable compression settings (compression_options.rs:78-120)."""
+
+    max_hash_checks: int = DEFAULT_MAX_HASH_CHECKS
+    lazy_if_less_than: int = DEFAULT_LAZY_IF_LESS_THAN
+    matching_type: MatchingType = MatchingType.Lazy
+    special: SpecialOptions = SpecialOptions.Normal
+
+    @staticmethod
+    def default() -> "CompressionOptions":
+        return CompressionOptions()
+
+    @staticmethod
+    def high() -> "CompressionOptions":
+        """Roughly the HIGH(9) setting in miniz (compression_options.rs:126-133)."""
+        return CompressionOptions(
+            max_hash_checks=HIGH_MAX_HASH_CHECKS,
+            lazy_if_less_than=HIGH_LAZY_IF_LESS_THAN,
+            matching_type=MatchingType.Lazy,
+        )
+
+    @staticmethod
+    def fast() -> "CompressionOptions":
+        """Fast settings (compression_options.rs:141-148)."""
+        return CompressionOptions(
+            max_hash_checks=1, lazy_if_less_than=0, matching_type=MatchingType.Greedy
+        )
+
+    @staticmethod
+    def huffman_only() -> "CompressionOptions":
+        """Huffman-coding only, no match search (compression_options.rs:155-162)."""
+        return CompressionOptions(
+            max_hash_checks=0, lazy_if_less_than=0, matching_type=MatchingType.Greedy
+        )
+
+    @staticmethod
+    def rle() -> "CompressionOptions":
+        """Run-length (distance 1) matching only (compression_options.rs:171-178)."""
+        return CompressionOptions(
+            max_hash_checks=0, lazy_if_less_than=0, matching_type=MatchingType.Lazy
+        )
+
+    @staticmethod
+    def from_compression(level: "Compression") -> "CompressionOptions":
+        return {
+            Compression.Fast: CompressionOptions.fast(),
+            Compression.Default: CompressionOptions.default(),
+            Compression.Best: CompressionOptions.high(),
+        }[level]
+
+    # --- static kernel configuration -------------------------------------
+
+    @property
+    def matcher_mode(self) -> str:
+        """'none' (huffman only), 'rle', or 'hash' — lz77.rs:192-232 dispatch."""
+        if self.max_hash_checks == 0:
+            # max_hash_checks == 0 + Lazy selects RLE mode, matching the
+            # reference's special case (compression_options.rs:104-110).
+            return "rle" if self.matching_type == MatchingType.Lazy else "none"
+        return "hash"
+
+    @property
+    def num_candidates(self) -> int:
+        return max(1, min(self.max_hash_checks, KERNEL_MAX_CANDIDATES))
+
+    @property
+    def lazy(self) -> bool:
+        return self.matching_type == MatchingType.Lazy and self.lazy_if_less_than > 0
+
+    def cache_key(self) -> tuple:
+        return (
+            self.matcher_mode,
+            self.num_candidates,
+            self.lazy,
+            min(self.lazy_if_less_than, 258),
+            self.special.value,
+        )

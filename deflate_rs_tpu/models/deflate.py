@@ -1,0 +1,120 @@
+"""One-shot compression API and host-side stream assembly.
+
+Counterpart of the reference's convenience layer (lib.rs:110-286:
+``deflate_bytes[_conf]``, ``deflate_bytes_zlib[_conf]``,
+``deflate_bytes_gzip[_conf]``).  The input is split into independent 64 KiB
+chunks, each carrying the previous 32 KiB as match history (so parse quality
+matches the reference's sliding window), encoded on device, and concatenated
+byte-aligned on the host.  Checksums come from the device partials combined
+with the streaming identities in ops.checksum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..compression_options import Compression, CompressionOptions
+from ..ops import checksum as ck
+from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
+from .gzip_header import GzBuilder
+
+# Chunk capacity tiers: small inputs use a small pipeline (lower latency and
+# compile cost), everything else the full tier.  Chunk *boundaries* are always
+# multiples of the full tier size, so output is independent of how the input
+# arrives (chunk-determinism, lib.rs:408-433).
+SMALL_EMIT = 4096
+FULL_EMIT = 65536
+
+
+def _encode_chunk_host(encoder, data: bytes, off: int, ln: int, is_last: bool, emit_size: int):
+    """Build the padded device buffer for data[off:off+ln] and encode it."""
+    buf = np.zeros(HALO + emit_size + PAD, dtype=np.uint8)
+    hist_len = min(off, HALO)
+    if hist_len:
+        buf[HALO - hist_len : HALO] = np.frombuffer(data, np.uint8, hist_len, off - hist_len)
+    if ln:
+        buf[HALO : HALO + ln] = np.frombuffer(data, np.uint8, ln, off)
+    out = encoder(buf, np.int32(hist_len), np.int32(ln), np.bool_(is_last))
+    return out
+
+
+class StreamResult:
+    """Assembled deflate stream plus checksums of the raw input."""
+
+    __slots__ = ("deflate", "adler", "crc32", "isize")
+
+    def __init__(self, deflate: bytes, adler: int, crc32: int, isize: int):
+        self.deflate = deflate
+        self.adler = adler
+        self.crc32 = crc32
+        self.isize = isize
+
+
+def compress_stream(data: bytes, options: CompressionOptions) -> StreamResult:
+    """Compress ``data`` into a raw DEFLATE stream (with checksums)."""
+    n = len(data)
+    emit = SMALL_EMIT if n <= SMALL_EMIT else FULL_EMIT
+    encoder = get_chunk_encoder(options, emit)
+
+    pieces = []
+    adler = ck.ADLER_INIT
+    crc_raw = 0
+    offsets = list(range(0, n, FULL_EMIT)) if n else [0]
+    for off in offsets:
+        ln = min(n - off, FULL_EMIT)
+        is_last = off + ln >= n
+        out = _encode_chunk_host(encoder, data, off, ln, is_last, emit)
+        total_bits = int(out["total_bits"])
+        nbytes = (total_bits + 7) // 8
+        words = np.asarray(out["words"])
+        pieces.append(words.astype("<u4").tobytes()[:nbytes])
+        adler = ck.adler32_combine(adler, int(out["s1"]), int(out["s2"]), ln)
+        crc_raw = ck.crc32_combine_raw(crc_raw, int(out["crc_raw"]), ln)
+
+    return StreamResult(
+        deflate=b"".join(pieces),
+        adler=ck.adler32_value(adler),
+        crc32=ck.crc32_from_raw(crc_raw, n),
+        isize=n % (1 << 32),
+    )
+
+
+def _resolve(options) -> CompressionOptions:
+    if isinstance(options, Compression):
+        return CompressionOptions.from_compression(options)
+    return options
+
+
+def deflate_bytes_conf(data: bytes, options) -> bytes:
+    """Raw DEFLATE (lib.rs:137-165)."""
+    return compress_stream(bytes(data), _resolve(options)).deflate
+
+
+def deflate_bytes(data: bytes) -> bytes:
+    return deflate_bytes_conf(data, CompressionOptions.default())
+
+
+def deflate_bytes_zlib_conf(data: bytes, options) -> bytes:
+    """zlib-framed DEFLATE with big-endian Adler-32 trailer (lib.rs:182-218)."""
+    res = compress_stream(bytes(data), _resolve(options))
+    return C.zlib_header() + res.deflate + res.adler.to_bytes(4, "big")
+
+
+def deflate_bytes_zlib(data: bytes) -> bytes:
+    return deflate_bytes_zlib_conf(data, CompressionOptions.default())
+
+
+def deflate_bytes_gzip_conf(data: bytes, builder: GzBuilder, options) -> bytes:
+    """gzip member with CRC-32 + ISIZE little-endian trailer (lib.rs:241-286)."""
+    res = compress_stream(bytes(data), _resolve(options))
+    return (
+        builder.header_bytes()
+        + res.deflate
+        + res.crc32.to_bytes(4, "little")
+        + res.isize.to_bytes(4, "little")
+    )
+
+
+def deflate_bytes_gzip(data: bytes) -> bytes:
+    return deflate_bytes_gzip_conf(data, GzBuilder(), CompressionOptions.default())
