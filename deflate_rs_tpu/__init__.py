@@ -24,6 +24,7 @@ from .models.deflate import (
     deflate_bytes_zlib_conf,
 )
 from .models.gzip_header import GzBuilder
+from . import write
 
 __all__ = [
     "Compression",

@@ -1,0 +1,208 @@
+"""Streaming encoder writers: DeflateEncoder / ZlibEncoder / GzEncoder.
+
+Counterpart of the reference's ``write`` module (writer.rs:89/183/331) with the
+same surface: ``write`` / ``flush`` (sync flush) / ``finish`` / ``reset``, plus
+Python context-manager support.  Bytes are buffered until a full chunk (64 KiB)
+*plus one byte* is available — the extra byte guarantees a chunk is only
+encoded as non-final when data provably follows it, which makes streaming
+output byte-identical to one-shot output for any write split
+(the chunk-determinism invariant, lib.rs:408-433).
+
+``flush()`` compresses everything buffered and ends byte-aligned with the
+empty-stored-block sync marker ``00 00 FF FF`` (compress.rs:257-262); writing
+can continue afterwards with full match history retained across the flush.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..compression_options import Compression, CompressionOptions
+from ..ops import checksum as ck
+from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
+from .deflate import FULL_EMIT, SMALL_EMIT, _resolve
+from .gzip_header import GzBuilder
+
+# An empty stored block emitted from a byte-aligned position: 3-bit header
+# (BFINAL=0, BTYPE=stored) + 5 pad bits + LEN=0 + NLEN=0xFFFF.
+SYNC_MARKER = b"\x00\x00\x00\xff\xff"
+# An empty final fixed block (header + EOB) from a byte-aligned position.
+FINAL_EMPTY_BLOCK = b"\x03\x00"
+
+
+def _write_all(writer, data: bytes):
+    """Write fully, tolerating partial writes (compress_until_done,
+    writer.rs:15-58)."""
+    view = memoryview(data)
+    while view:
+        written = writer.write(view)
+        if written is None:
+            written = len(view)  # BufferedIOBase contract
+        view = view[written:]
+
+
+class _DeflateCore:
+    """Shared chunked-compression state machine."""
+
+    def __init__(self, options: CompressionOptions):
+        self.options = options
+        self.reset_state()
+
+    def reset_state(self):
+        self.pending = bytearray()
+        self.history = b""
+        self.total_in = 0
+        self.started = False  # any chunk emitted yet?
+        self.adler = ck.ADLER_INIT
+        self.crc_raw = 0
+
+    def _encode(self, payload: bytes, is_last: bool) -> bytes:
+        emit = SMALL_EMIT if (not self.started and not payload[SMALL_EMIT:] and is_last) else FULL_EMIT
+        encoder = get_chunk_encoder(self.options, emit)
+        buf = np.zeros(HALO + emit + PAD, dtype=np.uint8)
+        hist = self.history[-HALO:]
+        if hist:
+            buf[HALO - len(hist) : HALO] = np.frombuffer(hist, np.uint8)
+        if payload:
+            buf[HALO : HALO + len(payload)] = np.frombuffer(payload, np.uint8)
+        out = encoder(buf, np.int32(len(hist)), np.int32(len(payload)), np.bool_(is_last))
+        nbytes = (int(out["total_bits"]) + 7) // 8
+        self.adler = ck.adler32_combine(self.adler, int(out["s1"]), int(out["s2"]), len(payload))
+        self.crc_raw = ck.crc32_combine_raw(self.crc_raw, int(out["crc_raw"]), len(payload))
+        self.history = (self.history + payload)[-HALO:]
+        self.total_in += len(payload)
+        self.started = True
+        return np.asarray(out["words"]).astype("<u4").tobytes()[:nbytes]
+
+    def feed(self, data) -> list[bytes]:
+        """Buffer input; emit compressed bytes for every complete chunk."""
+        self.pending += bytes(data)
+        pieces = []
+        while len(self.pending) > FULL_EMIT:
+            payload = bytes(self.pending[:FULL_EMIT])
+            del self.pending[:FULL_EMIT]
+            pieces.append(self._encode(payload, is_last=False))
+        return pieces
+
+    def sync_flush(self) -> list[bytes]:
+        if self.pending:
+            payload = bytes(self.pending)
+            self.pending.clear()
+            return [self._encode(payload, is_last=False)]
+        if not self.started:
+            # Nothing compressed yet: the sync marker alone still yields a
+            # valid resumable stream.
+            self.started = True
+        return [SYNC_MARKER]
+
+    def finish_stream(self) -> list[bytes]:
+        payload = bytes(self.pending)
+        self.pending.clear()
+        if payload or not self.started:
+            return [self._encode(payload, is_last=True)]
+        # Data already emitted as non-final chunks: close with an empty
+        # final block.
+        return [FINAL_EMPTY_BLOCK]
+
+
+class DeflateEncoder:
+    """Raw-DEFLATE streaming encoder (writer.rs:89)."""
+
+    _wrap = "raw"
+
+    def __init__(self, writer, options: CompressionOptions | Compression | None = None):
+        self._writer = writer
+        self._core = _DeflateCore(_resolve(options or CompressionOptions.default()))
+        self._finished = False
+        self._header_written = False
+
+    # -- framing hooks ----------------------------------------------------
+
+    def _header(self) -> bytes:
+        return b""
+
+    def _trailer(self) -> bytes:
+        return b""
+
+    # -- io.Write surface -------------------------------------------------
+
+    def _emit(self, pieces):
+        if not self._header_written:
+            _write_all(self._writer, self._header())
+            self._header_written = True
+        for p in pieces:
+            _write_all(self._writer, p)
+
+    def write(self, data) -> int:
+        if self._finished:
+            raise ValueError("write after finish()")
+        self._emit(self._core.feed(data))
+        return len(data)
+
+    def flush(self):
+        """Sync flush: compress all buffered input, end byte-aligned with the
+        00 00 FF FF marker, and flush the wrapped writer."""
+        if self._finished:
+            return
+        self._emit(self._core.sync_flush())
+        if hasattr(self._writer, "flush"):
+            self._writer.flush()
+
+    def finish(self):
+        """Terminate the stream (BFINAL + trailer); returns the inner writer."""
+        if not self._finished:
+            self._emit(self._core.finish_stream())
+            _write_all(self._writer, self._trailer())
+            self._finished = True
+        return self._writer
+
+    def reset(self, writer):
+        """Start a fresh stream into ``writer``; returns the old writer
+        (writer.rs reset semantics), reusing compiled state."""
+        if not self._finished:
+            self.finish()
+        old, self._writer = self._writer, writer
+        self._core.reset_state()
+        self._finished = False
+        self._header_written = False
+        return old
+
+    # -- conveniences ------------------------------------------------------
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.finish()
+        return False
+
+
+class ZlibEncoder(DeflateEncoder):
+    """zlib-framed streaming encoder (writer.rs:183).
+
+    The Adler-32 trailer covers exactly the bytes consumed, tracked from the
+    device checksum partials (writer.rs:253-267 semantics).
+    """
+
+    def _header(self) -> bytes:
+        return C.zlib_header()
+
+    def _trailer(self) -> bytes:
+        return ck.adler32_value(self._core.adler).to_bytes(4, "big")
+
+
+class GzEncoder(DeflateEncoder):
+    """gzip-framed streaming encoder (writer.rs:331), with builder support."""
+
+    def __init__(self, writer, options=None, builder: GzBuilder | None = None):
+        super().__init__(writer, options)
+        self._builder = builder or GzBuilder()
+
+    def _header(self) -> bytes:
+        return self._builder.header_bytes()
+
+    def _trailer(self) -> bytes:
+        crc = ck.crc32_from_raw(self._core.crc_raw, self._core.total_in)
+        return crc.to_bytes(4, "little") + (self._core.total_in % (1 << 32)).to_bytes(4, "little")

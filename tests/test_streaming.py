@@ -1,0 +1,192 @@
+"""Streaming writer tests: chunk determinism, sync flush, reset, framing.
+
+Mirrors the reference's writer tests: chunked-write determinism for many
+split sizes (lib.rs:408-433), sync-flush marker (writer.rs:571-595), reset
+determinism (writer.rs:539-568), flush-then-write (#26, test.rs:114-136),
+zeros through the writer (#18, writer.rs:599-609).
+"""
+
+import io
+import os
+import zlib
+
+import pytest
+
+import deflate_rs_tpu as dt
+from deflate_rs_tpu import CompressionOptions
+from deflate_rs_tpu.write import DeflateEncoder, GzEncoder, ZlibEncoder
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def pg11():
+    with open(os.path.join(DATA_DIR, "pg11.txt"), "rb") as f:
+        return f.read()
+
+
+def stream_compress(data, chunk_size, cls=DeflateEncoder, **kw):
+    sink = io.BytesIO()
+    enc = cls(sink, **kw)
+    for off in range(0, len(data), chunk_size):
+        assert enc.write(data[off : off + chunk_size]) == len(data[off : off + chunk_size])
+    enc.finish()
+    return sink.getvalue()
+
+
+@pytest.mark.parametrize("chunk_size", [1_000, 32_768, 65_536, 65_537, 131_072, 500_000])
+def test_chunk_determinism(pg11, chunk_size):
+    """Streaming output must be byte-identical to one-shot (lib.rs:408-433)."""
+    one_shot = dt.deflate_bytes(pg11)
+    streamed = stream_compress(pg11, chunk_size)
+    assert streamed == one_shot
+
+
+def test_chunk_determinism_tiny_writes(pg11):
+    data = pg11[:3000]
+    one_shot = dt.deflate_bytes(data)
+    assert stream_compress(data, 1) == one_shot
+    assert stream_compress(data, 7) == one_shot
+
+
+def test_small_vs_full_tier_identical(pg11):
+    """The small-input pipeline tier must produce the same bits as the full
+    tier for the same logical chunk."""
+    from deflate_rs_tpu.models import deflate as d
+
+    data = pg11[:4000]
+    small = dt.deflate_bytes(data)  # routed to the 4 KiB tier
+    orig = d.SMALL_EMIT
+    try:
+        d.SMALL_EMIT = 0  # force full tier
+        full = dt.deflate_bytes(data)
+    finally:
+        d.SMALL_EMIT = orig
+    assert small == full
+
+
+def test_zlib_streaming(pg11):
+    out = stream_compress(pg11, 50_000, cls=ZlibEncoder)
+    assert zlib.decompress(out) == pg11
+    assert out == dt.deflate_bytes_zlib(pg11)
+
+
+def test_gzip_streaming(pg11):
+    import gzip as _gz
+
+    out = stream_compress(pg11, 50_000, cls=GzEncoder)
+    assert _gz.decompress(out) == pg11
+
+
+def test_sync_flush_marker(pg11):
+    """flush() ends byte-aligned with 00 00 FF FF (writer.rs:571-595)."""
+    sink = io.BytesIO()
+    enc = ZlibEncoder(sink)
+    enc.write(pg11[:10_000])
+    enc.flush()
+    flushed = sink.getvalue()
+    assert flushed[-4:] == b"\x00\x00\xff\xff"
+    # A decompressor must fully recover the flushed data right now.
+    d = zlib.decompressobj()
+    assert d.decompress(flushed) == pg11[:10_000]
+
+    enc.write(pg11[10_000:20_000])
+    enc.finish()
+    assert zlib.decompress(sink.getvalue()) == pg11[:20_000]
+
+
+def test_flush_then_write(pg11):
+    """Issue #26 pattern: interleave flushes and writes (test.rs:114-136)."""
+    sink = io.BytesIO()
+    enc = DeflateEncoder(sink)
+    for i in range(5):
+        enc.write(pg11[i * 7000 : (i + 1) * 7000])
+        enc.flush()
+    enc.finish()
+    assert zlib.decompress(sink.getvalue(), wbits=-15) == pg11[:35_000]
+
+
+def test_flush_empty_then_finish():
+    sink = io.BytesIO()
+    enc = ZlibEncoder(sink)
+    enc.flush()
+    enc.write(b"hello")
+    enc.finish()
+    assert zlib.decompress(sink.getvalue()) == b"hello"
+
+
+def test_finish_empty():
+    for cls in (DeflateEncoder, ZlibEncoder, GzEncoder):
+        sink = io.BytesIO()
+        cls(sink).finish()
+        out = sink.getvalue()
+        if cls is DeflateEncoder:
+            assert zlib.decompress(out, wbits=-15) == b""
+        elif cls is ZlibEncoder:
+            assert zlib.decompress(out) == b""
+        else:
+            import gzip as _gz
+
+            assert _gz.decompress(out) == b""
+
+
+def test_reset_determinism(pg11):
+    """reset() must produce identical fresh streams (writer.rs:539-568)."""
+    data = pg11[:30_000]
+    sink1 = io.BytesIO()
+    enc = ZlibEncoder(sink1)
+    enc.write(data)
+    enc.finish()
+    sink2 = io.BytesIO()
+    old = enc.reset(sink2)
+    assert old is sink1
+    enc.write(data)
+    enc.finish()
+    assert sink1.getvalue() == sink2.getvalue()
+    assert zlib.decompress(sink2.getvalue()) == data
+
+
+def test_write_after_finish_raises():
+    enc = DeflateEncoder(io.BytesIO())
+    enc.finish()
+    with pytest.raises(ValueError):
+        enc.write(b"x")
+
+
+def test_zeros_through_writer():
+    """61,000 zeros via the writer (#18, writer.rs:599-609)."""
+    data = b"\x00" * 61_000
+    out = stream_compress(data, 10_000, cls=ZlibEncoder, options=CompressionOptions.rle())
+    assert zlib.decompress(out) == data
+
+
+class ShortWriter:
+    """Partial-write fault injection (the reference's SmallWriter mock,
+    test.rs:175-199)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def write(self, b):
+        b = bytes(b)[:3]  # accept at most 3 bytes per call
+        self.buf += b
+        return len(b)
+
+    def flush(self):
+        pass
+
+
+def test_short_writes(pg11):
+    data = pg11[:20_000]
+    w = ShortWriter()
+    enc = ZlibEncoder(w)
+    enc.write(data)
+    enc.finish()
+    assert bytes(w.buf) == dt.deflate_bytes_zlib(data)
+
+
+def test_context_manager(pg11):
+    sink = io.BytesIO()
+    with ZlibEncoder(sink) as enc:
+        enc.write(pg11[:1000])
+    assert zlib.decompress(sink.getvalue()) == pg11[:1000]
