@@ -33,18 +33,19 @@ def pack_fields(values, nbits, num_words: int, base_bit=0):
       includes ``base_bit``.
     """
     nbits = nbits.astype(jnp.uint32)
-    # Mask values to their declared width so disjoint-add stays disjoint.
-    mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nbits) - 1)
+    # Mask values to their declared width (max 16 bits per field) so the
+    # disjoint-add scatter stays disjoint.
+    mask = (jnp.left_shift(1, nbits).astype(jnp.uint32)) - 1
     vals = values.astype(jnp.uint32) & mask
 
-    ends = jnp.cumsum(nbits, dtype=jnp.uint32) + jnp.uint32(base_bit)
+    ends = jnp.cumsum(nbits, dtype=jnp.uint32) + base_bit
     offs = ends - nbits  # exclusive prefix-sum
-    total_bits = ends[-1] if ends.shape[0] > 0 else jnp.uint32(base_bit)
+    total_bits = ends[-1]
 
     word = (offs >> 5).astype(jnp.int32)
-    sh = offs & jnp.uint32(31)
+    sh = offs & 31
     lo = vals << sh
-    hi = jnp.where(sh == 0, jnp.uint32(0), vals >> (jnp.uint32(32) - sh))
+    hi = jnp.where(sh == 0, 0, vals >> (32 - sh)).astype(jnp.uint32)
 
     skip = nbits == 0
     word = jnp.where(skip, num_words, word)  # out-of-range => dropped

@@ -40,7 +40,7 @@ def canonical_codes(lengths, max_len: int):
 
     # Unrolled scan over the (static, tiny) range of lengths.
     first_code = jnp.zeros(max_len + 1, dtype=jnp.int32)
-    code = jnp.int32(0)
+    code = 0
     for l in range(1, max_len + 1):
         code, c = step(code, l)
         first_code = first_code.at[l].set(c)

@@ -106,12 +106,23 @@ def crc32_combine_raw(raw_a: int, raw_b: int, len_b: int) -> int:
 
 
 def _apply_shift_const(cols: np.ndarray, x):
-    """Apply a constant GF(2) matrix to a vector of uint32 lanes."""
-    acc = jnp.zeros_like(x)
-    for j in range(32):
-        bit = (x >> jnp.uint32(j)) & jnp.uint32(1)
-        acc = acc ^ jnp.where(bit == 1, jnp.uint32(int(cols[j])), jnp.uint32(0))
-    return acc
+    """Apply a constant GF(2) matrix to a vector of uint32 lanes.
+
+    Vectorized over the 32 bits: mask each matrix column by the corresponding
+    input bit, then XOR-fold the columns pairwise (5 steps).
+    """
+    from ..utils.tables import dev_const
+
+    shifts = dev_const(_BIT_SHIFTS)
+    bits = (x[:, None] >> shifts[None, :]) & 1
+    masked = jnp.where(bits == 1, dev_const(cols)[None, :], 0)
+    while masked.shape[1] > 1:
+        half = masked.shape[1] // 2
+        masked = masked[:, :half] ^ masked[:, half:]
+    return masked[:, 0]
+
+
+_BIT_SHIFTS = np.arange(32, dtype=np.uint32)
 
 
 def crc32_raw_device(data, n):
@@ -131,8 +142,7 @@ def crc32_raw_device(data, n):
     # Front-pad: leading zero bytes are the identity for a zero-init register,
     # so roll the valid bytes to the end of the buffer.
     rolled = jnp.roll(masked, P - n)
-    table = jnp.asarray(CRC_TABLE)
-    x = table[rolled.astype(jnp.int32)]
+    x = jnp.take(CRC_TABLE, rolled.astype(jnp.int32))
     level = 0
     while x.shape[0] > 1:
         left = x[0::2]

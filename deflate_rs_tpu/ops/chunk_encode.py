@@ -45,8 +45,12 @@ PAD = 8  # tail padding so packed-word reads never go out of bounds
 # = payload. The emit region always starts at buffer offset HALO.
 
 
-def _const(arr):
-    return jnp.asarray(np.asarray(arr))
+from ..utils.tables import dev_const as _const
+
+_DH_BITS = np.array([5, 5, 4], np.int32)
+_SH_BITS = np.array([3, 5, 16, 16], np.int32)
+_SY_VALS = np.array([0, 0, 0x0000, 0xFFFF], np.uint32)
+_SY_BITS = np.array([3, 0, 16, 16], np.int32)
 
 
 def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: CompressionOptions):
@@ -114,13 +118,13 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     is_match = length >= C.MIN_MATCH
     lit = buf[jnp.clip(toks["pos"], 0, N - 1)].astype(jnp.int32)
 
-    lcode = _const(C.LENGTH_TO_CODE)[jnp.clip(length, 0, C.MAX_MATCH)]
+    lcode = jnp.take(C.LENGTH_TO_CODE, jnp.clip(length, 0, C.MAX_MATCH))
     lsym = jnp.where(is_match, 257 + lcode, lit)
-    len_extra_n = jnp.where(is_match, _const(C.LENGTH_EXTRA_BITS)[lcode], 0)
-    len_extra_v = jnp.where(is_match, length - _const(C.LENGTH_BASE)[lcode], 0)
-    dcode = _const(C.DIST_TO_CODE)[jnp.clip(dist, 0, C.WINDOW_SIZE)]
-    dist_extra_n = jnp.where(is_match, _const(C.DIST_EXTRA_BITS)[dcode], 0)
-    dist_extra_v = jnp.where(is_match, dist - _const(C.DIST_BASE)[dcode], 0)
+    len_extra_n = jnp.where(is_match, jnp.take(C.LENGTH_EXTRA_BITS, lcode), 0)
+    len_extra_v = jnp.where(is_match, length - jnp.take(C.LENGTH_BASE, lcode), 0)
+    dcode = jnp.take(C.DIST_TO_CODE, jnp.clip(dist, 0, C.WINDOW_SIZE))
+    dist_extra_n = jnp.where(is_match, jnp.take(C.DIST_EXTRA_BITS, dcode), 0)
+    dist_extra_v = jnp.where(is_match, dist - jnp.take(C.DIST_BASE, dcode), 0)
 
     w = tvalid.astype(jnp.int32)
     l_freq = jnp.zeros(C.NUM_USED_LITLEN, jnp.int32).at[jnp.where(tvalid, lsym, 0)].add(w)
@@ -150,7 +154,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     rle = encode_code_lengths(cl, hlit + hdist)
     clen_len = package_merge_lengths(rle["freq"], C.MAX_CLEN_CODE_LENGTH)
     clen_codes = canonical_codes(clen_len, C.MAX_CLEN_CODE_LENGTH)
-    clen_in_order = clen_len[_const(C.CLEN_ORDER)]
+    clen_in_order = clen_len[C.CLEN_ORDER]  # tracer indexed by a host array
     last_c = jnp.max(jnp.where(clen_in_order > 0, jnp.arange(19), -1))
     hclen = jnp.clip(last_c + 1, 4, 19)
 
@@ -192,9 +196,9 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     )
     btype = jnp.where(n <= 4, C.BTYPE_FIXED, btype)
     if options.special == SpecialOptions.ForceFixed:
-        btype = jnp.int32(C.BTYPE_FIXED)
+        btype = jnp.full((), C.BTYPE_FIXED, jnp.int32)
     elif options.special == SpecialOptions.ForceStored:
-        btype = jnp.int32(C.BTYPE_STORED)
+        btype = jnp.full((), C.BTYPE_STORED, jnp.int32)
     is_dyn = btype == C.BTYPE_DYNAMIC
     is_fix = btype == C.BTYPE_FIXED
     is_stored = btype == C.BTYPE_STORED
@@ -213,9 +217,6 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     sel_l_code = canonical_codes(sel_l_len, C.MAX_CODE_LENGTH)
     sel_d_code = canonical_codes(sel_d_len, C.MAX_CODE_LENGTH)
 
-    def seg(vals, bits):
-        return jnp.asarray(vals, jnp.uint32), jnp.asarray(bits, jnp.int32)
-
     # [0] main 3-bit header (huffman blocks only; stored sub-blocks carry
     # their own headers).
     bfinal = jnp.asarray(is_last).astype(jnp.int32)
@@ -224,7 +225,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
 
     # [1] dynamic header: HLIT/HDIST/HCLEN + clen lengths + RLE symbols.
     dh_v = jnp.stack([(hlit - 257).astype(jnp.uint32), (hdist - 1).astype(jnp.uint32), (hclen - 4).astype(jnp.uint32)])
-    dh_b = jnp.where(is_dyn, jnp.array([5, 5, 4], jnp.int32), 0)
+    dh_b = jnp.where(is_dyn, _const(_DH_BITS), 0)
     co_v = clen_in_order.astype(jnp.uint32)
     co_b = jnp.where(is_dyn & (jnp.arange(19) < hclen), 3, 0)
     rle_code_v = clen_codes[rle["sym"]]
@@ -261,12 +262,12 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         sh_v = jnp.stack(
             [
                 sub_final[k].astype(jnp.uint32),  # hdr: BFINAL | (00 << 1)
-                jnp.uint32(0),  # pad to byte
+                jnp.zeros((), jnp.uint32),  # pad to byte
                 sub_len[k].astype(jnp.uint32),  # LEN
                 (~sub_len[k]).astype(jnp.uint32) & 0xFFFF,  # NLEN
             ]
         )
-        sh_b = jnp.where(on, jnp.array([3, 5, 16, 16], jnp.int32), 0)
+        sh_b = jnp.where(on, _const(_SH_BITS), 0)
         lo, hi = k * SB, min((k + 1) * SB, E)
         pb_v = payload[lo:hi]
         pb_b = jnp.where(on & (pj[lo:hi] < n), 8, 0)
@@ -277,10 +278,12 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # compress.rs:257-262): header 000, pad to byte, 0x0000, 0xFFFF.
     sync_on = ~is_last
     sync_pad = (-(data_bits + 3)) % 8
-    sy_v = jnp.array([0, 0, 0x0000, 0xFFFF], jnp.uint32)
+    sy_v = _const(_SY_VALS)
     sy_b = jnp.where(
         sync_on,
-        jnp.stack([jnp.int32(3), sync_pad, jnp.int32(16), jnp.int32(16)]),
+        jnp.stack(
+            [jnp.full((), 3, jnp.int32), sync_pad, jnp.full((), 16, jnp.int32), jnp.full((), 16, jnp.int32)]
+        ),
         0,
     )
 

@@ -45,7 +45,7 @@ def encode_code_lengths(cl, hn):
 
     prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), v[:-1]])
     bd = v != prev  # run starts (position 0 always starts a run)
-    big = jnp.int32(CAP + 1)
+    big = CAP + 1
     start = jax.lax.cummax(jnp.where(bd, idx, -1))
     # nb[i] = nearest boundary at-or-after i; shifting by one gives the
     # nearest boundary strictly after i.

@@ -131,8 +131,7 @@ def find_rle_matches(data_padded, n_total, N: int):
     idx = jnp.arange(N, dtype=jnp.int32)
     # e[i] = 1 iff d[i] == d[i-1] (i >= 1).
     eq = jnp.concatenate([jnp.zeros(1, dtype=jnp.bool_), d[1:N] == d[: N - 1]])
-    big = jnp.int32(N + MAX_MATCH)
-    breaks = jnp.where(eq, big, idx)
+    breaks = jnp.where(eq, N + MAX_MATCH, idx)
     next_break = jax.lax.associative_scan(jnp.minimum, breaks, reverse=True)
     run = next_break - idx  # consecutive equal-pairs starting at i
     max_len = jnp.clip(n_total - idx, 0, MAX_MATCH)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_BIG = jnp.int32(1 << 29)  # value sentinel for padding; sums are clamped below it
+_BIG = 1 << 29  # value sentinel for padding; sums are clamped below it
 
 
 def package_merge_lengths(freqs, max_len: int):

@@ -18,7 +18,7 @@ def reverse_bits16(value, length):
     ``length`` may be an array (per-element code lengths); entries with
     length 0 return 0.
     """
-    v = value.astype(jnp.uint32) if hasattr(value, "astype") else jnp.uint32(value)
+    v = jnp.asarray(value).astype(jnp.uint32)
     v = ((v & 0x5555) << 1) | ((v & 0xAAAA) >> 1)
     v = ((v & 0x3333) << 2) | ((v & 0xCCCC) >> 2)
     v = ((v & 0x0F0F) << 4) | ((v & 0xF0F0) >> 4)
