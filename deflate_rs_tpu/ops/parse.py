@@ -66,25 +66,29 @@ def reachable(nxt, start: int):
     return reach
 
 
-def extract_tokens(reach, nxt, best_dist, emit_start: int, n_total, cap: int):
+def extract_tokens(reach, nxt, best_dist, buf, emit_start: int, n_total, cap: int):
     """Compact parse positions into dense token slots (stream order).
 
+    Two packed scatters (unique indices): scatters are scalar-unit bound on
+    TPU, so length+literal ride one int32 and distance the other.
+
     Returns a dict of token arrays of static size ``cap``:
-      pos:    source position of token t (undefined for t >= count)
       length: match length (1 => literal)
+      lit:    literal byte (valid when length == 1)
       dist:   match distance (0 for literals)
       count:  number of tokens
     """
     N = nxt.shape[0] - 1
     pos_all = jnp.arange(emit_start, N, dtype=jnp.int32)
-    is_tok = reach[pos_all] & (pos_all < n_total)
+    is_tok = reach[emit_start:N] & (pos_all < n_total)
     order = jnp.cumsum(is_tok.astype(jnp.int32)) - 1
     count = jnp.sum(is_tok.astype(jnp.int32))
 
     slot = jnp.where(is_tok, order, cap)  # masked-out => dropped
-    pos = jnp.zeros(cap, dtype=jnp.int32).at[slot].set(pos_all, mode="drop")
-    length_all = nxt[pos_all] - pos_all
-    length = jnp.zeros(cap, dtype=jnp.int32).at[slot].set(length_all, mode="drop")
-    dist_all = jnp.where(length_all >= MIN_MATCH, best_dist[pos_all], 0)
+    length_all = nxt[emit_start:N] - pos_all
+    lit_all = buf[emit_start:N].astype(jnp.int32)  # static slice, no gather
+    pack_a = length_all | (lit_all << 9)
+    a = jnp.zeros(cap, dtype=jnp.int32).at[slot].set(pack_a, mode="drop")
+    dist_all = jnp.where(length_all >= MIN_MATCH, best_dist[emit_start:N], 0)
     dist = jnp.zeros(cap, dtype=jnp.int32).at[slot].set(dist_all, mode="drop")
-    return {"pos": pos, "length": length, "dist": dist, "count": count}
+    return {"length": a & 0x1FF, "lit": a >> 9, "dist": dist, "count": count}
