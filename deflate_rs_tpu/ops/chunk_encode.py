@@ -37,6 +37,7 @@ from .matching import find_matches, find_rle_matches
 from .symbolmap import dist_code, histogram_onehot, length_code
 from .package_merge import package_merge_lengths
 from .parse import build_jumps, extract_tokens, reachable
+from .parse_walk import parse_walk
 
 HALO = C.WINDOW_SIZE  # history bytes preceding the emit region
 PAD = 40  # tail padding so packed-word probe reads (up to 32 B probes) stay in bounds
@@ -101,9 +102,23 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         lazy=options.lazy,
         lazy_if_less_than=min(options.lazy_if_less_than, 258) if options.lazy else 0,
     )
-    reach = reachable(nxt, HALO)
-    toks = extract_tokens(reach, nxt, best_dist, buf, HALO, n_total, E)
-    count = toks["count"]
+    if jax.default_backend() == "tpu":
+        # Sequential chain walk on the scalar core (parse_walk.py): the XLA
+        # pointer-doubling needs ~17 gather+scatter rounds which are
+        # scalar-bound anyway — walking the actual chain is ~50x cheaper.
+        jump = (nxt[:N] - idx) | (best_dist << 9)
+        packed_toks, tok_dist, count = parse_walk(jump, HALO, n_total, E)
+        pos = packed_toks & 0x1FFFF
+        toks = {
+            "length": packed_toks >> 17,
+            "lit": buf[pos].astype(jnp.int32),
+            "dist": tok_dist,
+            "count": count,
+        }
+    else:
+        reach = reachable(nxt, HALO)
+        toks = extract_tokens(reach, nxt, best_dist, buf, HALO, n_total, E)
+        count = toks["count"]
     tvalid = jnp.arange(E) < count
 
     # ------------------------- token symbol mapping (arithmetic, gather-free)

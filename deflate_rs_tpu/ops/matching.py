@@ -193,39 +193,62 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
         ln, dist = unpack(t[eposc])
         cands.append((ln, dist))
     M = len(cands)
-    ecand = jnp.stack([eposc - d for _, d in cands], axis=1)  # (CE, M)
-    einit = jnp.stack([jnp.minimum(ln, elim) for ln, _ in cands], axis=1)
-    eok = jnp.stack([(ln >= PROBE_BYTES) for ln, _ in cands], axis=1)
-    eok = eok & active_lane[:, None]
+    einit_cols = [
+        jnp.where(active_lane & (ln >= 3), jnp.minimum(ln, elim), 0) for ln, _ in cands
+    ]
 
-    cur = jnp.where(eok, einit, 0)
-    active = eok & (cur < elim[:, None])
+    if jax.default_backend() == "tpu":
+        # Scalar-core extension kernel (extend_walk.py): evaluates every
+        # candidate of every compacted lane exactly.
+        from .extend_walk import extend_matches
 
-    def cond(state):
-        cur, active = state
-        return jnp.any(active)
+        res = extend_matches(
+            packed,
+            jnp.where(active_lane, eposc, -1),
+            elim,
+            [eposc - d for _, d in cands],
+            einit_cols,
+        )
+        ebest_len = res >> 16
+        ebest_dist = res & 0xFFFF
+    else:
+        ecand = jnp.stack([eposc - d for _, d in cands], axis=1)  # (CE, M)
+        einit = jnp.stack(einit_cols, axis=1)
+        eok = jnp.stack([(ln >= PROBE_BYTES) for ln, _ in cands], axis=1)
+        eok = eok & active_lane[:, None]
 
-    def body(state):
-        cur, active = state
-        wi = packed[jnp.where(active, eposc[:, None] + cur, 0)]
-        wc = packed[jnp.where(active, ecand + cur, 0)]
-        m = _matched_bytes(wi ^ wc)
-        inc = jnp.where(active, jnp.minimum(m, elim[:, None] - cur), 0)
-        cur = cur + inc
-        active = active & (m == 4) & (cur < elim[:, None])
-        return cur, active
+        cur = jnp.where(eok, einit, 0)
+        active = eok & (cur < elim[:, None])
 
-    cur, _ = jax.lax.while_loop(cond, body, (cur, active))
-    cur = jnp.where(eok, cur, 0)
+        def cond(state):
+            cur, active = state
+            return jnp.any(active)
 
-    # Per extended lane: best (len, then smaller dist).  Candidate order is
-    # already nearest-first per slot rank, so argmax's first-wins tie break
-    # gives the closest among equals.
-    edists = jnp.stack([d for _, d in cands], axis=1)
-    escore = cur * (WINDOW_SIZE * 2) - edists
-    ebest = jnp.argmax(escore, axis=1)
-    ebest_len = jnp.take_along_axis(cur, ebest[:, None], axis=1)[:, 0]
-    ebest_dist = jnp.take_along_axis(edists, ebest[:, None], axis=1)[:, 0]
+        def body(state):
+            cur, active = state
+            wi = packed[jnp.where(active, eposc[:, None] + cur, 0)]
+            wc = packed[jnp.where(active, ecand + cur, 0)]
+            m = _matched_bytes(wi ^ wc)
+            inc = jnp.where(active, jnp.minimum(m, elim[:, None] - cur), 0)
+            cur = cur + inc
+            active = active & (m == 4) & (cur < elim[:, None])
+            return cur, active
+
+        cur, _ = jax.lax.while_loop(cond, body, (cur, active))
+        # Unextended candidates keep their exact probe-measured lengths so
+        # backends agree on semantics.
+        cur = jnp.where(eok, cur, einit)
+
+        # Per extended lane: best (len, then smaller dist).  Candidate order
+        # is already nearest-first per slot rank, so argmax's first-wins tie
+        # break gives the closest among equals.
+        edists = jnp.stack([d for _, d in cands], axis=1)
+        escore = jnp.where(einit > 0, cur * (WINDOW_SIZE * 2) - edists, -1)
+        ebest = jnp.argmax(escore, axis=1)
+        ebest_len = jnp.take_along_axis(cur, ebest[:, None], axis=1)[:, 0]
+        ebest_dist = jnp.take_along_axis(edists, ebest[:, None], axis=1)[:, 0]
+        ebest_len = jnp.where(ebest_len > 0, ebest_len, 0)
+        ebest_dist = jnp.where(ebest_len > 0, ebest_dist, 0)
 
     # Scatter extension results back (unique positions).
     ext_len = jnp.zeros(N, jnp.int32).at[jnp.where(active_lane, epos, N)].set(
