@@ -87,8 +87,21 @@ def _make_kernel(M: int):
                 packed = jnp.where(pos >= 0, (best_len << 16) | best_dist, 0)
                 return jnp.where(lane == j, packed, vec)
 
-            vec = jax.lax.fori_loop(0, LANES, lane_step, jnp.zeros((1, LANES), jnp.int32))
-            out_ref[0, pl.ds(blk, 1), :] = vec
+            # Compacted lanes form a prefix: whole blocks of inactive lanes
+            # are common (and all-trailing), so skip them in a few cycles.
+            any_active = jnp.max(pos_row) >= 0
+
+            @pl.when(any_active)
+            def _():
+                vec = jax.lax.fori_loop(
+                    0, LANES, lane_step, jnp.zeros((1, LANES), jnp.int32)
+                )
+                out_ref[0, pl.ds(blk, 1), :] = vec
+
+            @pl.when(~any_active)
+            def _():
+                out_ref[0, pl.ds(blk, 1), :] = jnp.zeros((1, LANES), jnp.int32)
+
             return 0
 
         jax.lax.fori_loop(0, num_blocks, block_step, 0)

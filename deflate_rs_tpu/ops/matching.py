@@ -101,12 +101,33 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
     packed = pack_words(buf)
     probe_pos = [packed[4 * w : N + 4 * w] for w in range(PROBE_WORDS)]
 
+    # -------------------------------------- exact small-period run matching
+    # For d in 1..RUN_DISTS: length of the run of buf[j] == buf[j-d] starting
+    # at i, via distance-to-next-mismatch (reverse min-scan).  Exact to 258.
+    # Computed up front so it can ride the hash sort as a payload (it vetoes
+    # extension for positions a run already explains).
+    run_len = jnp.zeros(N, jnp.int32)
+    run_dist = jnp.zeros(N, jnp.int32)
+    big = N + MAX_MATCH
+    for d in range(1, RUN_DISTS + 1):
+        eq = jnp.concatenate(
+            [jnp.zeros((d,), jnp.bool_), buf[d:N] == buf[: N - d]]
+        )
+        eq = eq & (idx - d >= hstart) & (idx < n_total)
+        breaks = jnp.where(eq, big, idx)
+        next_break = jax.lax.associative_scan(jnp.minimum, breaks, reverse=True)
+        length = jnp.minimum(next_break - idx, limit)
+        better = length > run_len  # prefer smaller d on ties (first wins)
+        run_len = jnp.where(better, length, run_len)
+        run_dist = jnp.where(better, d, run_dist)
+    has_run = run_len >= 3
+
     # ------------------------------------------------- payload sort by hash
     sorted_ops = jax.lax.sort(
-        [keys, idx] + probe_pos, num_keys=1, is_stable=True
+        [keys, idx, run_len] + probe_pos, num_keys=1, is_stable=True
     )
-    skey, spos = sorted_ops[0], sorted_ops[1]
-    sprobe = sorted_ops[2:]
+    skey, spos, srun = sorted_ops[0], sorted_ops[1], sorted_ops[2]
+    sprobe = sorted_ops[3:]
 
     # ------------------------------------- probe K sorted-space predecessors
     # Row r-k is the k-th most recent prior position with this hash.  Rolled
@@ -142,80 +163,51 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
     tops0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(M))
     tops = list(jax.lax.fori_loop(1, K + 1, probe_step, tops0))
 
-    # ------------------------------------------------ unsort (packed, unique)
-    out = jnp.zeros((len(tops), N), jnp.int32)
-    out = out.at[:, spos].set(jnp.stack(tops))
-    tops = [out[m] for m in range(len(tops))]
-
     def unpack(score):
         ln = score >> 16
         dist = jnp.where(score > 0, WINDOW_SIZE + 1 - (score & 0xFFFF), 0)
         return ln, dist
 
-    # -------------------------------------- exact small-period run matching
-    # For d in 1..RUN_DISTS: length of the run of buf[j] == buf[j-d] starting
-    # at i, via distance-to-next-mismatch (reverse min-scan).  Exact to 258.
-    run_len = jnp.zeros(N, jnp.int32)
-    run_dist = jnp.zeros(N, jnp.int32)
-    big = N + MAX_MATCH
-    for d in range(1, RUN_DISTS + 1):
-        eq = jnp.concatenate(
-            [jnp.zeros((d,), jnp.bool_), buf[d:N] == buf[: N - d]]
-        )
-        eq = eq & (idx - d >= hstart) & (idx < n_total)
-        breaks = jnp.where(eq, big, idx)
-        next_break = jax.lax.associative_scan(jnp.minimum, breaks, reverse=True)
-        length = jnp.minimum(next_break - idx, limit)
-        better = length > run_len  # prefer smaller d on ties (first wins)
-        run_len = jnp.where(better, length, run_len)
-        run_dist = jnp.where(better, d, run_dist)
-    has_run = run_len >= 3
-
     # --------------------------------------- residual full-width extension
     # Positions whose best probe saturated and whose run match doesn't
-    # already prove a longer-or-equal match get exact extension.
-    b0_len, b0_dist = unpack(tops[0])
-    needs_ext = (
-        (b0_len >= PROBE_BYTES)
-        & (limit > PROBE_BYTES)
-        & ~(has_run & (run_len >= limit))
-    )
-    ext_idx = jnp.cumsum(needs_ext.astype(jnp.int32)) - 1
-    slot = jnp.where(needs_ext, ext_idx, extension_budget)
-    CE = extension_budget
-    epos = jnp.full((CE,), -1, jnp.int32).at[slot].set(idx, mode="drop")
-    active_lane = epos >= 0
-    eposc = jnp.maximum(epos, 0)
-    elim = jnp.clip(n_total - eposc, 0, MAX_MATCH)
+    # already explain the whole remaining span get exact extension.  A second
+    # stable sort brings them to the front (compaction without scatters);
+    # only the first `extension_budget` are extended — overflow keeps the
+    # probe-measured length (valid, just not maximal).
+    slim = jnp.clip(n_total - spos, 0, MAX_MATCH)
+    b0_len_s, _ = unpack(tops[0])
+    needs_ext = (b0_len_s >= PROBE_BYTES) & (slim > PROBE_BYTES) & (srun < slim)
 
-    cands = []
-    for t in tops:
-        ln, dist = unpack(t[eposc])
-        cands.append((ln, dist))
-    M = len(cands)
-    einit_cols = [
-        jnp.where(active_lane & (ln >= 3), jnp.minimum(ln, elim), 0) for ln, _ in cands
-    ]
+    need_sorted = jax.lax.sort(
+        [(~needs_ext).astype(jnp.int32), spos, slim] + tops, num_keys=1, is_stable=True
+    )
+    need2, spos2, slim2 = need_sorted[0], need_sorted[1], need_sorted[2]
+    tops2 = need_sorted[3:]
+
+    CE = extension_budget
+    row2 = jnp.arange(N, dtype=jnp.int32)
+    in_budget = (need2 == 0) & (row2 < CE)
+
+    epos = jnp.where(in_budget[:CE], spos2[:CE], -1)
+    elim = slim2[:CE]
+    cand_cols, init_cols = [], []
+    for t in tops2:
+        ln, dist = unpack(t[:CE])
+        cand_cols.append(spos2[:CE] - dist)
+        init_cols.append(jnp.where((epos >= 0) & (ln >= 3), jnp.minimum(ln, elim), 0))
 
     if jax.default_backend() == "tpu":
         # Scalar-core extension kernel (extend_walk.py): evaluates every
         # candidate of every compacted lane exactly.
         from .extend_walk import extend_matches
 
-        res = extend_matches(
-            packed,
-            jnp.where(active_lane, eposc, -1),
-            elim,
-            [eposc - d for _, d in cands],
-            einit_cols,
-        )
+        res = extend_matches(packed, epos, elim, cand_cols, init_cols)
         ebest_len = res >> 16
         ebest_dist = res & 0xFFFF
     else:
-        ecand = jnp.stack([eposc - d for _, d in cands], axis=1)  # (CE, M)
-        einit = jnp.stack(einit_cols, axis=1)
-        eok = jnp.stack([(ln >= PROBE_BYTES) for ln, _ in cands], axis=1)
-        eok = eok & active_lane[:, None]
+        ecand = jnp.stack(cand_cols, axis=1)  # (CE, M)
+        einit = jnp.stack(init_cols, axis=1)
+        eok = einit >= PROBE_BYTES
 
         cur = jnp.where(eok, einit, 0)
         active = eok & (cur < elim[:, None])
@@ -226,7 +218,7 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
 
         def body(state):
             cur, active = state
-            wi = packed[jnp.where(active, eposc[:, None] + cur, 0)]
+            wi = packed[jnp.where(active, epos[:, None] + cur, 0)]
             wc = packed[jnp.where(active, ecand + cur, 0)]
             m = _matched_bytes(wi ^ wc)
             inc = jnp.where(active, jnp.minimum(m, elim[:, None] - cur), 0)
@@ -239,37 +231,41 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
         # backends agree on semantics.
         cur = jnp.where(eok, cur, einit)
 
-        # Per extended lane: best (len, then smaller dist).  Candidate order
-        # is already nearest-first per slot rank, so argmax's first-wins tie
-        # break gives the closest among equals.
-        edists = jnp.stack([d for _, d in cands], axis=1)
+        edists = jnp.stack([epos - c for c in cand_cols], axis=1)
         escore = jnp.where(einit > 0, cur * (WINDOW_SIZE * 2) - edists, -1)
         ebest = jnp.argmax(escore, axis=1)
         ebest_len = jnp.take_along_axis(cur, ebest[:, None], axis=1)[:, 0]
         ebest_dist = jnp.take_along_axis(edists, ebest[:, None], axis=1)[:, 0]
-        ebest_len = jnp.where(ebest_len > 0, ebest_len, 0)
+        ebest_len = jnp.where(escore.max(axis=1) > 0, ebest_len, 0)
         ebest_dist = jnp.where(ebest_len > 0, ebest_dist, 0)
 
-    # Scatter extension results back (unique positions).
-    ext_len = jnp.zeros(N, jnp.int32).at[jnp.where(active_lane, epos, N)].set(
-        ebest_len, mode="drop"
-    )
-    ext_dist = jnp.zeros(N, jnp.int32).at[jnp.where(active_lane, epos, N)].set(
-        ebest_dist, mode="drop"
-    )
+    # ------------------------------------------------ final pick and unsort
+    # Extended rows take the kernel result; everything else keeps its best
+    # probe answer (exact when unsaturated; 16-byte floor on budget overflow).
+    ext_len_full = jnp.concatenate([ebest_len, jnp.zeros(N - CE, jnp.int32)])
+    ext_dist_full = jnp.concatenate([ebest_dist, jnp.zeros(N - CE, jnp.int32)])
+    b_len2, b_dist2 = unpack(tops2[0])
+    use_ext = in_budget & (ext_len_full > 0)
+    fin_len2 = jnp.where(use_ext, ext_len_full, b_len2)
+    fin_dist2 = jnp.where(use_ext, ext_dist_full, b_dist2)
+    fin_packed2 = (jnp.minimum(fin_len2, slim2) << 16) | fin_dist2
+
+    fin = jnp.zeros(N, jnp.int32).at[spos2].set(fin_packed2)
+    best_len = fin >> 16
+    best_dist = fin & 0xFFFF
 
     # ------------------------------------------------------------- combine
-    best_len, best_dist = b0_len, b0_dist
-    better = ext_len > best_len
-    best_len = jnp.where(better, ext_len, best_len)
-    best_dist = jnp.where(better, ext_dist, best_dist)
-    better = (run_len > best_len) | ((run_len == best_len) & has_run & (run_dist < best_dist))
+    better = (run_len > best_len) | (
+        (run_len == best_len) & has_run & (run_dist < best_dist)
+    )
     best_len = jnp.where(better, run_len, best_len)
     best_dist = jnp.where(better, run_dist, best_dist)
 
     best_len = jnp.minimum(best_len, limit)
     good = best_len >= 3
     return jnp.where(good, best_len, 0), jnp.where(good, best_dist, 0)
+
+
 
 
 def find_rle_matches(data_padded, n_total, hstart, N: int):
