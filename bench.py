@@ -42,6 +42,15 @@ def build_corpus(total_bytes: int) -> bytes:
 def main():
     import jax
 
+    # Persistent compilation cache: the fused encoder takes minutes to build
+    # through the remote-compile tunnel; cache it across bench runs.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import deflate_rs_tpu  # noqa: F401  (path check)
     from deflate_rs_tpu.compression_options import CompressionOptions
     from deflate_rs_tpu.ops.chunk_encode import HALO, PAD, get_batch_encoder

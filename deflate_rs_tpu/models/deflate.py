@@ -17,6 +17,7 @@ from .. import constants as C
 from ..compression_options import Compression, CompressionOptions
 from ..ops import checksum as ck
 from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
+from ..runtime import native
 from .gzip_header import GzBuilder
 
 # Chunk capacity tiers: small inputs use a small pipeline (lower latency and
@@ -58,6 +59,7 @@ def compress_stream(data: bytes, options: CompressionOptions) -> StreamResult:
     encoder = get_chunk_encoder(options, emit)
 
     pieces = []
+    nbytes_list = []
     adler = ck.ADLER_INIT
     crc_raw = 0
     offsets = list(range(0, n, FULL_EMIT)) if n else [0]
@@ -66,14 +68,18 @@ def compress_stream(data: bytes, options: CompressionOptions) -> StreamResult:
         is_last = off + ln >= n
         out = _encode_chunk_host(encoder, data, off, ln, is_last, emit)
         total_bits = int(out["total_bits"])
-        nbytes = (total_bits + 7) // 8
-        words = np.asarray(out["words"])
-        pieces.append(words.astype("<u4").tobytes()[:nbytes])
+        nbytes_list.append((total_bits + 7) // 8)
+        pieces.append(np.asarray(out["words"]).view(np.uint8))
         adler = ck.adler32_combine(adler, int(out["s1"]), int(out["s2"]), ln)
         crc_raw = ck.crc32_combine_raw(crc_raw, int(out["crc_raw"]), ln)
 
+    # Ordered assembly of the variable-length chunk payloads (native C++
+    # fast path with a NumPy fallback, runtime/native.py).
+    stream = native.assemble_chunks(
+        np.stack(pieces), np.asarray(nbytes_list, np.int64)
+    )
     return StreamResult(
-        deflate=b"".join(pieces),
+        deflate=stream,
         adler=ck.adler32_value(adler),
         crc32=ck.crc32_from_raw(crc_raw, n),
         isize=n % (1 << 32),

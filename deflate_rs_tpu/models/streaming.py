@@ -21,6 +21,7 @@ from .. import constants as C
 from ..compression_options import Compression, CompressionOptions
 from ..ops import checksum as ck
 from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
+from ..utils.debug import ByteAccountant, enabled as debug_enabled
 from .deflate import FULL_EMIT, SMALL_EMIT, _resolve
 from .gzip_header import GzBuilder
 
@@ -56,6 +57,7 @@ class _DeflateCore:
         self.started = False  # any chunk emitted yet?
         self.adler = ck.ADLER_INIT
         self.crc_raw = 0
+        self.accountant = ByteAccountant() if debug_enabled() else None
 
     def _encode(self, payload: bytes, is_last: bool) -> bytes:
         emit = SMALL_EMIT if (not self.started and not payload[SMALL_EMIT:] and is_last) else FULL_EMIT
@@ -68,6 +70,8 @@ class _DeflateCore:
             buf[HALO : HALO + len(payload)] = np.frombuffer(payload, np.uint8)
         out = encoder(buf, np.int32(len(hist)), np.int32(len(payload)), np.bool_(is_last))
         nbytes = (int(out["total_bits"]) + 7) // 8
+        if self.accountant is not None:
+            self.accountant.account_chunk(len(payload), int(out["total_bits"]), is_last)
         self.adler = ck.adler32_combine(self.adler, int(out["s1"]), int(out["s2"]), len(payload))
         self.crc_raw = ck.crc32_combine_raw(self.crc_raw, int(out["crc_raw"]), len(payload))
         self.history = (self.history + payload)[-HALO:]
@@ -78,6 +82,8 @@ class _DeflateCore:
     def feed(self, data) -> list[bytes]:
         """Buffer input; emit compressed bytes for every complete chunk."""
         self.pending += bytes(data)
+        if self.accountant is not None:
+            self.accountant.consume(len(data))
         pieces = []
         while len(self.pending) > FULL_EMIT:
             payload = bytes(self.pending[:FULL_EMIT])
@@ -100,10 +106,14 @@ class _DeflateCore:
         payload = bytes(self.pending)
         self.pending.clear()
         if payload or not self.started:
-            return [self._encode(payload, is_last=True)]
-        # Data already emitted as non-final chunks: close with an empty
-        # final block.
-        return [FINAL_EMPTY_BLOCK]
+            pieces = [self._encode(payload, is_last=True)]
+        else:
+            # Data already emitted as non-final chunks: close with an empty
+            # final block.
+            pieces = [FINAL_EMPTY_BLOCK]
+        if self.accountant is not None:
+            self.accountant.reconcile()
+        return pieces
 
 
 class DeflateEncoder:
