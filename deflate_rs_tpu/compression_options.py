@@ -132,10 +132,14 @@ class CompressionOptions:
 
     @property
     def extend_top(self) -> int:
-        """How many best-probing candidates get fully extended."""
+        """How many best-probing candidates get fully extended.
+
+        Measured on pg11: default M=2 costs +13 B vs M=4 while halving the
+        extension work; high keeps a deep M=8 for max ratio.
+        """
         if self.max_hash_checks <= 1:
             return 1
-        return 8 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 4
+        return 8 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 2
 
     @property
     def lazy(self) -> bool:

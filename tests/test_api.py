@@ -1,0 +1,65 @@
+"""API-surface parity tests: enum levels, option plumbing, inflate robustness."""
+
+import io
+import zlib
+
+import pytest
+
+import deflate_rs_tpu as dt
+from deflate_rs_tpu import Compression, CompressionOptions, MatchingType, SpecialOptions
+from deflate_rs_tpu.models.inflate import inflate, inflate_zlib
+from deflate_rs_tpu.write import ZlibEncoder
+
+DATA = b"the quick brown fox jumps over the lazy dog. " * 100
+
+
+def test_compression_enum_everywhere():
+    for level in (Compression.Fast, Compression.Default, Compression.Best):
+        out = dt.deflate_bytes_conf(DATA, level)
+        assert zlib.decompress(out, wbits=-15) == DATA
+        sink = io.BytesIO()
+        enc = ZlibEncoder(sink, options=level)
+        enc.write(DATA)
+        enc.finish()
+        assert zlib.decompress(sink.getvalue()) == DATA
+
+
+def test_from_compression_mapping():
+    assert CompressionOptions.from_compression(Compression.Fast) == CompressionOptions.fast()
+    assert CompressionOptions.from_compression(Compression.Default) == CompressionOptions.default()
+    assert CompressionOptions.from_compression(Compression.Best) == CompressionOptions.high()
+
+
+def test_option_values_mirror_reference():
+    """Preset knob values match compression_options.rs."""
+    d = CompressionOptions.default()
+    assert (d.max_hash_checks, d.lazy_if_less_than, d.matching_type) == (128, 32, MatchingType.Lazy)
+    h = CompressionOptions.high()
+    assert (h.max_hash_checks, h.lazy_if_less_than) == (1768, 128)
+    f = CompressionOptions.fast()
+    assert (f.max_hash_checks, f.lazy_if_less_than, f.matching_type) == (1, 0, MatchingType.Greedy)
+    r = CompressionOptions.rle()
+    assert r.matcher_mode == "rle"
+    assert CompressionOptions.huffman_only().matcher_mode == "none"
+    assert d.special == SpecialOptions.Normal
+
+
+def test_inflate_rejects_corrupt_streams():
+    good = dt.deflate_bytes_zlib(DATA)
+    with pytest.raises(ValueError):
+        inflate_zlib(good[:-1] + bytes([good[-1] ^ 0xFF]))  # bad adler
+    with pytest.raises(ValueError):
+        inflate_zlib(b"\x79" + good[1:])  # bad header check
+    with pytest.raises(Exception):
+        inflate(b"\x07\x00\x00")  # BTYPE=3 is invalid
+
+
+def test_inflate_handles_all_reference_streams():
+    """Our inflate decodes zlib-produced streams too (not just our own)."""
+    for level in (1, 6, 9):
+        z = zlib.compress(DATA, level)
+        assert inflate_zlib(z) == DATA
+    import os
+
+    ref = open(os.path.join(os.path.dirname(__file__), "data", "issue_44.zlib"), "rb").read()
+    assert inflate_zlib(ref) == zlib.decompress(ref)

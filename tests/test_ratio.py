@@ -1,0 +1,56 @@
+"""Compressed-size regression guards.
+
+The BASELINE target is size <= deflate-rs per level.  deflate-rs cannot run in
+this image (no Rust toolchain), so stdlib zlib at the corresponding levels is
+the measurable stand-in (the reference crate positions itself at
+zlib-comparable ratios, lib.rs:7-8).  These tests pin that we stay at-or-under
+zlib on the reference corpus, and track absolute sizes so regressions are
+loud.
+"""
+
+import os
+import zlib
+
+import pytest
+
+import deflate_rs_tpu as dt
+from deflate_rs_tpu import CompressionOptions
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def pg11():
+    with open(os.path.join(DATA_DIR, "pg11.txt"), "rb") as f:
+        return f.read()
+
+
+def test_default_beats_zlib6(pg11):
+    ours = len(dt.deflate_bytes_conf(pg11, CompressionOptions.default()))
+    theirs = len(zlib.compress(pg11, 6)) - 6  # strip zlib header+trailer
+    assert ours <= theirs, f"default {ours} > zlib-6 raw {theirs}"
+
+
+def test_high_beats_zlib9(pg11):
+    ours = len(dt.deflate_bytes_conf(pg11, CompressionOptions.high()))
+    theirs = len(zlib.compress(pg11, 9)) - 6
+    assert ours <= theirs, f"high {ours} > zlib-9 raw {theirs}"
+
+
+def test_incompressible_overhead_bounded():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 256 * 1024, dtype=np.uint8).tobytes()
+    ours = len(dt.deflate_bytes(data))
+    # stored blocks: 5 B per 32 KiB sub-block + 5 B sync marker per chunk
+    assert ours - len(data) <= 4 * (2 * 5 + 5) + 16
+
+
+def test_issue18_bin_vs_zlib():
+    with open(os.path.join(DATA_DIR, "issue_18_201911.bin"), "rb") as f:
+        data = f.read()
+    ours = len(dt.deflate_bytes(data))
+    theirs = len(zlib.compress(data, 6)) - 6
+    # Allow a small slack on this binary regression input; track closely.
+    assert ours <= theirs * 1.02, f"{ours} vs zlib-6 {theirs}"
