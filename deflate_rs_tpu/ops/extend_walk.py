@@ -20,6 +20,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+# Probe window of the sorted-space matcher, in bytes (= matching.PROBE_BYTES;
+# duplicated here to avoid a circular import at module load).
+PROBE_BYTES = 16
 
 
 def _make_kernel(M: int):
@@ -71,7 +74,9 @@ def _make_kernel(M: int):
                         cur = cur + inc
                         return cur, (mb == 4) & (cur < lim)
 
-                    alive0 = (init > 0) & (init < lim) & (pos >= 0)
+                    # Candidates measured below the probe window are exact
+                    # (their first mismatch was observed) — no walk needed.
+                    alive0 = (init >= PROBE_BYTES) & (init < lim) & (pos >= 0)
                     cur, _ = jax.lax.while_loop(
                         lambda s: s[1], ext_body, (jnp.where(alive0, init, 0), alive0)
                     )
