@@ -250,7 +250,7 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
     fin_dist2 = jnp.where(use_ext, ext_dist_full, b_dist2)
     fin_packed2 = (jnp.minimum(fin_len2, slim2) << 16) | fin_dist2
 
-    fin = jnp.zeros(N, jnp.int32).at[spos2].set(fin_packed2)
+    fin = jnp.zeros(N, jnp.int32).at[spos2].set(fin_packed2, unique_indices=True)
     best_len = fin >> 16
     best_dist = fin & 0xFFFF
 

@@ -1,0 +1,95 @@
+"""Batched one-shot compression for large corpora.
+
+The plain one-shot API (models/deflate.py) encodes chunk-by-chunk, which is
+dispatch-bound for large inputs.  This path stages many 64 KiB chunks at
+once, runs the vmapped encoder (one device program per batch), assembles with
+the native runtime, and combines checksum partials — the single-chip version
+of the sharded pipeline in parallel/sharded.py and the engine behind
+bench.py's headline number.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants as C
+from ..compression_options import Compression, CompressionOptions
+from ..models.deflate import FULL_EMIT, StreamResult, _resolve
+from ..models.gzip_header import GzBuilder
+from ..ops import checksum as ck
+from ..ops.chunk_encode import HALO, PAD, get_batch_encoder
+from ..runtime import native
+
+
+def compress_corpus(
+    data: bytes,
+    options: CompressionOptions | Compression | None = None,
+    *,
+    batch_size: int = 16,
+) -> StreamResult:
+    """Compress ``data`` as one DEFLATE stream using batched device encodes."""
+    options = _resolve(options or CompressionOptions.default())
+    n = len(data)
+    E = FULL_EMIT
+    encoder = get_batch_encoder(options, E)
+
+    offsets = list(range(0, n, E)) if n else [0]
+    arr = np.frombuffer(data, np.uint8) if n else np.zeros(0, np.uint8)
+
+    pieces = []
+    nbytes_all = []
+    adler = ck.ADLER_INIT
+    crc_raw = 0
+    for base in range(0, len(offsets), batch_size):
+        group = offsets[base : base + batch_size]
+        B = len(group)
+        bufs = np.zeros((B, HALO + E + PAD), np.uint8)
+        hist = np.zeros(B, np.int32)
+        ns = np.zeros(B, np.int32)
+        lasts = np.zeros(B, bool)
+        for i, off in enumerate(group):
+            ln = min(n - off, E)
+            h = min(off, HALO)
+            if h:
+                bufs[i, HALO - h : HALO] = arr[off - h : off]
+            if ln:
+                bufs[i, HALO : HALO + ln] = arr[off : off + ln]
+            hist[i], ns[i], lasts[i] = h, ln, off + ln >= n
+        out = encoder(bufs, hist, ns, lasts)
+        words = np.asarray(out["words"]).view(np.uint8).reshape(B, -1)
+        bits = np.asarray(out["total_bits"])
+        s1 = np.asarray(out["s1"])
+        s2 = np.asarray(out["s2"])
+        crc = np.asarray(out["crc_raw"])
+        for i in range(B):
+            nbytes_all.append((int(bits[i]) + 7) // 8)
+            adler = ck.adler32_combine(adler, int(s1[i]), int(s2[i]), int(ns[i]))
+            crc_raw = ck.crc32_combine_raw(crc_raw, int(crc[i]), int(ns[i]))
+        pieces.append(words)
+
+    stream = native.assemble_chunks(
+        np.concatenate(pieces, axis=0), np.asarray(nbytes_all, np.int64)
+    )
+    return StreamResult(
+        deflate=stream,
+        adler=ck.adler32_value(adler),
+        crc32=ck.crc32_from_raw(crc_raw, n),
+        isize=n % (1 << 32),
+    )
+
+
+def compress_corpus_zlib(data: bytes, options=None, *, batch_size: int = 16) -> bytes:
+    res = compress_corpus(data, options, batch_size=batch_size)
+    return C.zlib_header() + res.deflate + res.adler.to_bytes(4, "big")
+
+
+def compress_corpus_gzip(
+    data: bytes, options=None, *, builder: GzBuilder | None = None, batch_size: int = 16
+) -> bytes:
+    res = compress_corpus(data, options, batch_size=batch_size)
+    return (
+        (builder or GzBuilder()).header_bytes()
+        + res.deflate
+        + res.crc32.to_bytes(4, "little")
+        + res.isize.to_bytes(4, "little")
+    )
