@@ -142,7 +142,14 @@ def crc32_raw_device(data, n):
     # Front-pad: leading zero bytes are the identity for a zero-init register,
     # so roll the valid bytes to the end of the buffer.
     rolled = jnp.roll(masked, P - n)
-    x = jnp.take(CRC_TABLE, rolled.astype(jnp.int32))
+    # Byte->CRC table lookup as two one-hot MXU matmuls (16-bit halves stay
+    # exact in float32); ~7x faster than a gather on TPU.
+    from .symbolmap import table_lookup
+
+    ridx = rolled.astype(jnp.int32)
+    lo = table_lookup((CRC_TABLE & 0xFFFF).astype(np.int32), ridx, 256)
+    hi = table_lookup((CRC_TABLE >> 16).astype(np.int32), ridx, 256)
+    x = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
     level = 0
     while x.shape[0] > 1:
         left = x[0::2]

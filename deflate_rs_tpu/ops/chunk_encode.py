@@ -34,7 +34,7 @@ from .canonical import canonical_codes
 from .checksum import adler32_parts_device, crc32_raw_device
 from .code_lengths import CL_CAP, encode_code_lengths
 from .matching import find_matches, find_rle_matches
-from .symbolmap import dist_code, histogram_onehot, length_code
+from .symbolmap import dist_code, histogram_onehot, length_code, table_lookup
 from .package_merge import package_merge_lengths
 from .parse import build_jumps, extract_tokens, reachable
 from .parse_walk import parse_walk
@@ -244,14 +244,26 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
 
     # [2] token fields, two per token (code+extra packed; LSB-first means the
     # Huffman code occupies the low bits and extra bits follow above it).
+    # Code+length tables are packed so each side needs ONE lookup, done as a
+    # one-hot MXU matmul (~7x faster than a gather on TPU).
     tok_on = tvalid & huff
-    lsym_code = sel_l_code[lsym]
-    lsym_len = sel_l_len[lsym]
+    l_pack = table_lookup(
+        (sel_l_code | (sel_l_len.astype(jnp.uint32) << 16)).astype(jnp.int32),
+        lsym,
+        C.NUM_LITLEN_SYMBOLS,
+    )
+    lsym_code = (l_pack & 0xFFFF).astype(jnp.uint32)
+    lsym_len = l_pack >> 16
     t1v = lsym_code | (len_extra_v.astype(jnp.uint32) << lsym_len.astype(jnp.uint32))
     t1b = jnp.where(tok_on, lsym_len + len_extra_n, 0)
     mt = tok_on & is_match
-    d_code_v = sel_d_code[dcode]
-    d_code_l = sel_d_len[dcode]
+    d_pack = table_lookup(
+        (sel_d_code | (sel_d_len.astype(jnp.uint32) << 16)).astype(jnp.int32),
+        dcode,
+        C.NUM_DIST_SYMBOLS,
+    )
+    d_code_v = (d_pack & 0xFFFF).astype(jnp.uint32)
+    d_code_l = d_pack >> 16
     t2v = d_code_v | (dist_extra_v.astype(jnp.uint32) << d_code_l.astype(jnp.uint32))
     t2b = jnp.where(mt, d_code_l + dist_extra_n, 0)
     tok_v = jnp.stack([t1v, t2v], axis=1).reshape(-1)
