@@ -34,11 +34,11 @@ def _make_kernel(M: int):
         num_blocks = out_ref.shape[1]
 
         def extract(row, j):
-            return jnp.sum(jnp.where(lane == j, row, 0))
+            return pltpu.roll(row, -j, 1)[0, 0]
 
         def word_at(w):
             row = packed_ref[0, pl.ds(w >> 7, 1), :]
-            return jnp.sum(jnp.where(lane == (w & (LANES - 1)), row, 0))
+            return pltpu.roll(row, -(w & (LANES - 1)), 1)[0, 0]
 
         def block_step(blk, _):
             pos_row = pos_ref[0, pl.ds(blk, 1), :]

@@ -47,7 +47,7 @@ def _walk_kernel(scalars_ref, jump_ref, out_ref, dist_ref):
             p, count, vec_pos, vec_dist = inner
             live = p < n_total
             row = jump_ref[0, pl.ds(p >> 7, 1), :]
-            packed = jnp.sum(jnp.where(lane == (p & (LANES - 1)), row, 0))
+            packed = pltpu.roll(row, -(p & (LANES - 1)), 1)[0, 0]
             step = packed & 0x1FF
             dist = packed >> 9
             tok = jnp.where(live, p | (step << 17), 0)
