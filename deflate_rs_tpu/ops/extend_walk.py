@@ -114,7 +114,7 @@ def _make_kernel(M: int):
     return kernel
 
 
-def _extend_batched(pw, epos, elim, ecands, einits):
+def _extend_batched(pw, epos, elim, ecands, einits, interpret: bool = False):
     """pw: int32[B, Wp] packed words; others int32[B, CE]-shaped."""
     B, Wp = pw.shape
     CE = epos.shape[1]
@@ -133,6 +133,7 @@ def _extend_batched(pw, epos, elim, ecands, einits):
         grid=(B,),
         in_specs=[spec(RW)] + [spec(RC)] * (2 + 2 * M),
         out_specs=spec(RC),
+        interpret=interpret,
     )(*ops)
     return out.reshape(B, CE)
 
@@ -187,3 +188,12 @@ def extend_matches(packed_words, epos, elim, ecands, einits):
         fn = _CACHE[key] = em
 
     return fn(_pad_words(packed_words), epos, elim, *ecands, *einits)
+
+
+def extend_matches_interpret(packed_words, epos, elim, ecands, einits):
+    """Interpreter-mode variant: tests the kernel semantics on any backend."""
+    out = _extend_batched(
+        _pad_words(packed_words)[None], epos[None], elim[None],
+        [c[None] for c in ecands], [i[None] for i in einits], interpret=True,
+    )
+    return out[0]

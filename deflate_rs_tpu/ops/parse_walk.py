@@ -72,7 +72,7 @@ def _walk_kernel(scalars_ref, jump_ref, out_ref, dist_ref):
     out_ref[0, pl.ds(num_blocks, 1), :] = jnp.where(lane == 0, count, 0)
 
 
-def _walk_batched(jumps, starts, n_totals, cap: int):
+def _walk_batched(jumps, starts, n_totals, cap: int, interpret: bool = False):
     """Grid-over-chunks walk. jumps: int32[B, N] with N % 128 == 0."""
     B, N = jumps.shape
     R = N // LANES
@@ -96,6 +96,7 @@ def _walk_batched(jumps, starts, n_totals, cap: int):
             jax.ShapeDtypeStruct((B, OB, LANES), jnp.int32),
         ),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(scalars, jumps.reshape(B, R, LANES))
     toks = out[:, :-1, :].reshape(B, cap)
     dists = dist[:, :-1, :].reshape(B, cap)
@@ -103,12 +104,17 @@ def _walk_batched(jumps, starts, n_totals, cap: int):
     return toks, dists, counts
 
 
-def _parse_walk_impl(jump_packed, start, n_total, *, cap: int):
+def _parse_walk_impl(jump_packed, start, n_total, *, cap: int, interpret: bool = False):
     toks, dists, counts = _walk_batched(
         jump_packed[None], jnp.asarray(start, jnp.int32)[None],
-        jnp.asarray(n_total, jnp.int32)[None], cap,
+        jnp.asarray(n_total, jnp.int32)[None], cap, interpret=interpret,
     )
     return toks[0], dists[0], counts[0]
+
+
+def parse_walk_interpret(jump_packed, start, n_total, cap: int):
+    """Interpreter-mode variant: tests the kernel semantics on any backend."""
+    return _parse_walk_impl(jump_packed, start, n_total, cap=cap, interpret=True)
 
 
 def _make_parse_walk(cap: int):
