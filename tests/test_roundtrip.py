@@ -167,3 +167,35 @@ def test_chunk_boundary_sizes():
     for n in [4095, 4096, 4097, 32768, 65535, 65536, 65537, 98304, 131073]:
         data = base[:n]
         rt(data)
+
+
+def test_stored_subblock_boundaries():
+    """ForceStored at the 32 KiB sub-block boundaries (stored_block.rs edge)."""
+    from deflate_rs_tpu import CompressionOptions, SpecialOptions
+
+    opts = CompressionOptions(special=SpecialOptions.ForceStored)
+    for n in (32767, 32768, 32769, 65535, 65536, 65537):
+        data = bytes(range(256)) * (n // 256 + 1)
+        data = data[:n]
+        out = dt.deflate_bytes_conf(data, opts)
+        assert zlib.decompress(out, wbits=-15) == data
+
+
+def test_chunk_bit_accounting():
+    """Non-final chunks must end byte-aligned on the sync marker and the
+    reported data_bits must match the emitted structure (the cost model and
+    the bit emitter must agree exactly or streams would corrupt)."""
+    import numpy as np
+    from deflate_rs_tpu.compression_options import CompressionOptions
+    from deflate_rs_tpu.ops.chunk_encode import HALO, PAD, get_chunk_encoder
+
+    enc = get_chunk_encoder(CompressionOptions.default(), 4096)
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 100, 4095, 4096):
+        buf = np.zeros(HALO + 4096 + PAD, np.uint8)
+        buf[HALO : HALO + n] = rng.integers(0, 256, n, dtype=np.uint8)
+        out = enc(buf, np.int32(0), np.int32(n), np.bool_(False))
+        total, data_bits = int(out["total_bits"]), int(out["data_bits"])
+        assert total % 8 == 0, "sync-flushed chunk must end byte-aligned"
+        # data + 3-bit marker + pad + 4 marker bytes
+        assert total == data_bits + 3 + (-(data_bits + 3)) % 8 + 32
