@@ -28,7 +28,12 @@ void assemble_chunks(uint8_t* dst,
                      int64_t n_chunks) {
     int64_t off = 0;
     for (int64_t i = 0; i < n_chunks; ++i) {
-        std::memcpy(dst + off, words + i * stride, (size_t)nbytes[i]);
+        // Clamp to the slot stride: a byte count beyond it would read out of
+        // bounds of the words array (callers validate counts; this is the
+        // last line of defence).
+        int64_t n = nbytes[i] < stride ? nbytes[i] : stride;
+        if (n < 0) n = 0;
+        std::memcpy(dst + off, words + i * stride, (size_t)n);
         off += nbytes[i];
     }
 }

@@ -126,11 +126,6 @@ class CompressionOptions:
         return max(1, min(self.max_hash_checks, KERNEL_MAX_CANDIDATES))
 
     @property
-    def probe_words(self) -> int:
-        """Probe depth in 4-byte words before committing to candidates."""
-        return 2 if self.max_hash_checks <= 1 else 4
-
-    @property
     def extend_top(self) -> int:
         """How many best-probing candidates get fully extended.
 
@@ -149,7 +144,6 @@ class CompressionOptions:
         return (
             self.matcher_mode,
             self.num_candidates,
-            self.probe_words,
             self.extend_top,
             self.lazy,
             min(self.lazy_if_less_than, 258),

@@ -68,6 +68,11 @@ def compress_stream(data: bytes, options: CompressionOptions) -> StreamResult:
         is_last = off + ln >= n
         out = _encode_chunk_host(encoder, data, off, ln, is_last, emit)
         total_bits = int(out["total_bits"])
+        if total_bits > out["words"].size * 32:
+            raise RuntimeError(
+                f"encoder overflow: {total_bits} bits exceeds the "
+                f"{out['words'].size * 32}-bit word buffer (bug)"
+            )
         nbytes_list.append((total_bits + 7) // 8)
         pieces.append(np.asarray(out["words"]).view(np.uint8))
         adler = ck.adler32_combine(adler, int(out["s1"]), int(out["s2"]), ln)

@@ -32,14 +32,28 @@ SYNC_MARKER = b"\x00\x00\x00\xff\xff"
 FINAL_EMPTY_BLOCK = b"\x03\x00"
 
 
+# How many consecutive zero-byte writes _write_all tolerates before raising
+# (the analogue of std::io::ErrorKind::WriteZero; reference issue #47 class,
+# tests/test.rs:163-200 — a throttled writer must not spin forever).
+MAX_ZERO_WRITES = 16
+
+
 def _write_all(writer, data: bytes):
     """Write fully, tolerating partial writes (compress_until_done,
-    writer.rs:15-58)."""
+    writer.rs:15-58).  A writer that repeatedly reports zero progress raises
+    instead of looping forever (WriteZero semantics)."""
     view = memoryview(data)
+    zero_streak = 0
     while view:
         written = writer.write(view)
         if written is None:
             written = len(view)  # BufferedIOBase contract
+        if written == 0:
+            zero_streak += 1
+            if zero_streak >= MAX_ZERO_WRITES:
+                raise OSError("writer made no progress (wrote 0 bytes repeatedly)")
+            continue
+        zero_streak = 0
         view = view[written:]
 
 
@@ -70,6 +84,11 @@ class _DeflateCore:
             buf[HALO : HALO + len(payload)] = np.frombuffer(payload, np.uint8)
         out = encoder(buf, np.int32(len(hist)), np.int32(len(payload)), np.bool_(is_last))
         nbytes = (int(out["total_bits"]) + 7) // 8
+        if nbytes > out["words"].size * 4:
+            raise RuntimeError(
+                f"encoder overflow: {nbytes} B exceeds the {out['words'].size * 4} B "
+                "word buffer (bug — buffer is sized for the worst legal output)"
+            )
         if self.accountant is not None:
             self.accountant.account_chunk(len(payload), int(out["total_bits"]), is_last)
         self.adler = ck.adler32_combine(self.adler, int(out["s1"]), int(out["s2"]), len(payload))
@@ -168,8 +187,13 @@ class DeflateEncoder:
         return self._writer
 
     def reset(self, writer):
-        """Start a fresh stream into ``writer``; returns the old writer
-        (writer.rs reset semantics), reusing compiled state."""
+        """Start a fresh stream into ``writer``; returns the old writer.
+
+        Matches the reference's reset semantics exactly: ``reset`` runs
+        ``output_all`` first, which for the zlib/gzip encoders *includes* the
+        trailer (writer.rs:205-214 — ZlibEncoder::output_all calls
+        write_trailer; writer.rs:370-375 likewise for gzip), so the old
+        writer holds a complete, valid stream."""
         if not self._finished:
             self.finish()
         old, self._writer = self._writer, writer
@@ -212,6 +236,20 @@ class GzEncoder(DeflateEncoder):
 
     def _header(self) -> bytes:
         return self._builder.header_bytes()
+
+    def reset(self, writer):
+        """Reset to a fresh stream with a *blank* gzip header, matching the
+        reference (writer.rs:394-399: ``self.header = GzBuilder::new()``)."""
+        old = super().reset(writer)
+        self._builder = GzBuilder()
+        return old
+
+    def reset_with_builder(self, writer, builder: GzBuilder):
+        """Reset using ``builder`` for the next stream's header
+        (writer.rs:401-407)."""
+        old = super().reset(writer)
+        self._builder = builder
+        return old
 
     def _trailer(self) -> bytes:
         crc = ck.crc32_from_raw(self._core.crc_raw, self._core.total_in)

@@ -42,6 +42,11 @@ from .parse_walk import parse_walk
 HALO = C.WINDOW_SIZE  # history bytes preceding the emit region
 PAD = 40  # tail padding so packed-word probe reads (up to 32 B probes) stay in bounds
 
+
+def out_words(emit_size: int) -> int:
+    """Output word-buffer capacity: the 9-bit/byte worst case plus slack."""
+    return (9 * emit_size) // 32 + 2048
+
 # Per-chunk layout: buf[HALO - hist_len : HALO] = history, buf[HALO : HALO+n]
 # = payload. The emit region always starts at buffer offset HALO.
 
@@ -321,7 +326,11 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         [hdr_b, dh_b, co_b, rle_b, tok_b, eob_b] + st_segments_b + [sy_b]
     )
 
-    num_words = E // 4 + 2048
+    # Sized for the worst *legal* output: ForceFixed on all-high literals is
+    # 9 bits/byte (fixed codes for 144..255), plus headers/EOB/sync slack.
+    # (Match tokens are always cheaper per byte than 9-bit literals, and the
+    # normal cost model never exceeds the stored bound of ~8.005 bits/byte.)
+    num_words = out_words(E)
     words, total_bits = pack_fields(values, nbits, num_words)
 
     # ------------------------------------------------------------ checksums

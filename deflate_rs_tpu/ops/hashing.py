@@ -38,19 +38,3 @@ def hash3(data_padded, n_positions: int):
     d = data_padded.astype(jnp.int32)
     h = (d[:n_positions] << 10) ^ (d[1 : n_positions + 1] << 5) ^ d[2 : n_positions + 2]
     return h & HASH_MASK
-
-
-def rank_by_hash(keys):
-    """Stable sort positions by hash key.
-
-    Args:
-      keys: int32[N] sort keys (hash, or INVALID_KEY for unusable positions).
-
-    Returns:
-      (perm, rank): perm[r] = position with sorted rank r; rank[i] = sorted
-      rank of position i.  Stable: equal keys keep ascending position order.
-    """
-    n = keys.shape[0]
-    perm = jnp.argsort(keys, stable=True).astype(jnp.int32)
-    rank = jnp.zeros(n, dtype=jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-    return perm, rank

@@ -26,12 +26,8 @@ from jax import shard_map
 
 from ..compression_options import CompressionOptions
 from ..ops.bitpack import words_to_bytes
-from ..ops.chunk_encode import encode_chunk
+from ..ops.chunk_encode import encode_chunk, out_words as _num_words
 from .mesh import DATA_AXIS
-
-
-def _num_words(emit_size: int) -> int:
-    return emit_size // 4 + 2048
 
 
 def make_sharded_encoder(mesh, options: CompressionOptions, emit_size: int):

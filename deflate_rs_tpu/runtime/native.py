@@ -64,6 +64,11 @@ def assemble_chunks(words: np.ndarray, nbytes: np.ndarray) -> bytes:
     """Concatenate per-chunk payloads. words: uint8[n_chunks, stride]."""
     lib = _load()
     nbytes = np.ascontiguousarray(nbytes, np.int64)
+    if nbytes.size and (int(nbytes.max()) > words.shape[1] or int(nbytes.min()) < 0):
+        raise ValueError(
+            f"chunk byte count out of range for stride {words.shape[1]}: "
+            f"{int(nbytes.min())}..{int(nbytes.max())}"
+        )
     total = int(nbytes.sum())
     if lib is None:
         return b"".join(

@@ -199,3 +199,31 @@ def test_chunk_bit_accounting():
         assert total % 8 == 0, "sync-flushed chunk must end byte-aligned"
         # data + 3-bit marker + pad + 4 marker bytes
         assert total == data_bits + 3 + (-(data_bits + 3)) % 8 + 32
+
+
+def test_force_fixed_worst_case_high_literals():
+    """ForceFixed + all-high literals is the 9-bit/byte worst case for the
+    output buffer (round-1 overflow bug: the buffer was sized below
+    9 bits/byte and the packing scatters dropped overflow silently)."""
+    opts = CompressionOptions(
+        max_hash_checks=0,  # huffman_only: every byte a literal
+        lazy_if_less_than=0,
+        matching_type=dt.MatchingType.Greedy,
+        special=SpecialOptions.ForceFixed,
+    )
+    rng = np.random.default_rng(7)
+    # Bytes in 144..255 take 9-bit fixed codes; 65537 spans two chunks.
+    data = rng.integers(144, 256, 65_537, dtype=np.uint8).tobytes()
+    out = dt.deflate_bytes_conf(data, opts)
+    assert zlib.decompress(out, wbits=-15) == data
+    # All literals at 9 bits plus block overhead.
+    assert len(out) > len(data) * 9 // 8
+
+
+def test_force_fixed_worst_case_with_matching():
+    """Same adversarial bytes through the normal matcher (matches allowed)."""
+    opts = CompressionOptions(special=SpecialOptions.ForceFixed)
+    rng = np.random.default_rng(8)
+    data = rng.integers(144, 256, 70_000, dtype=np.uint8).tobytes()
+    out = dt.deflate_bytes_conf(data, opts)
+    assert zlib.decompress(out, wbits=-15) == data

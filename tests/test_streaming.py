@@ -190,3 +190,70 @@ def test_context_manager(pg11):
     with ZlibEncoder(sink) as enc:
         enc.write(pg11[:1000])
     assert zlib.decompress(sink.getvalue()) == pg11[:1000]
+
+
+class ZeroWriter:
+    """A writer that never makes progress (reference issue #47 class)."""
+
+    def write(self, b):
+        return 0
+
+
+def test_zero_progress_writer_raises(pg11):
+    """_write_all must raise instead of spinning forever on a writer that
+    reports 0 bytes written (WriteZero analogue, test.rs:163-200)."""
+    enc = ZlibEncoder(ZeroWriter())
+    with pytest.raises(OSError):
+        enc.write(pg11[:200_000])  # > one chunk so bytes must be emitted
+
+
+class StutterWriter:
+    """Zero progress a few times, then accepts bytes (must NOT raise)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._stall = 0
+
+    def write(self, b):
+        self._stall += 1
+        if self._stall % 4 != 0:
+            return 0
+        b = bytes(b)[:7]
+        self.buf += b
+        return len(b)
+
+    def flush(self):
+        pass
+
+
+def test_stuttering_writer_completes(pg11):
+    data = pg11[:20_000]
+    w = StutterWriter()
+    enc = ZlibEncoder(w)
+    enc.write(data)
+    enc.finish()
+    assert bytes(w.buf) == dt.deflate_bytes_zlib(data)
+
+
+def test_gz_reset_uses_blank_builder():
+    """GzEncoder.reset must revert to a blank header (writer.rs:394-399);
+    reset_with_builder installs the provided one (writer.rs:401-407)."""
+    from deflate_rs_tpu.models.gzip_header import GzBuilder
+    from deflate_rs_tpu.models.inflate import inflate_gzip
+
+    s1, s2, s3 = io.BytesIO(), io.BytesIO(), io.BytesIO()
+    enc = GzEncoder(s1, builder=GzBuilder().with_filename(b"a.txt"))
+    enc.write(b"first")
+    old = enc.reset(s2)
+    assert old is s1
+    enc.write(b"second")
+    enc.reset_with_builder(s3, GzBuilder().with_comment(b"hello"))
+    enc.write(b"third")
+    enc.finish()
+
+    assert inflate_gzip(s1.getvalue()) == b"first"
+    assert b"a.txt" in s1.getvalue()
+    assert inflate_gzip(s2.getvalue()) == b"second"
+    assert b"a.txt" not in s2.getvalue()  # blank builder after reset
+    assert inflate_gzip(s3.getvalue()) == b"third"
+    assert b"hello" in s3.getvalue()
