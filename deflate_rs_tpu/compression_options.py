@@ -126,15 +126,15 @@ class CompressionOptions:
         return max(1, min(self.max_hash_checks, KERNEL_MAX_CANDIDATES))
 
     @property
-    def extend_top(self) -> int:
-        """How many best-probing candidates get fully extended.
+    def probe_words(self) -> int:
+        """Probe window width in 4-byte words (matching.py).
 
-        Measured on pg11: default M=2 costs +13 B vs M=4 while halving the
-        extension work; high keeps a deep M=8 for max ratio.
+        The probe measures match lengths exactly up to 4*probe_words bytes;
+        chain extension recovers longer constant-distance runs.  Measured on
+        pg11: 8 words keeps default under zlib -6 (60584 < 60608); high needs
+        16 to stay under zlib -9 (60365 < 60385).
         """
-        if self.max_hash_checks <= 1:
-            return 1
-        return 8 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 2
+        return 16 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 8
 
     @property
     def lazy(self) -> bool:
@@ -144,7 +144,7 @@ class CompressionOptions:
         return (
             self.matcher_mode,
             self.num_candidates,
-            self.extend_top,
+            self.probe_words,
             self.lazy,
             min(self.lazy_if_less_than, 258),
             self.special.value,

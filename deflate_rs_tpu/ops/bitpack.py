@@ -1,14 +1,23 @@
-"""Parallel LSB-first bit concatenation.
+"""Parallel LSB-first bit concatenation — scatter-free.
 
 Replaces the reference's sequential ``LsbWriter::write_bits`` accumulator loop
-(bitstream.rs:76-86, the second-hottest loop) with a data-parallel scheme:
+(bitstream.rs:76-86, the second-hottest loop) with a data-parallel scheme
+built only from a cumsum, one stable sort, and elementwise ops (TPU
+gathers/scatters are scalar-bound, ~10 ns/element — docs/perf_notes.md):
 
 1. every emitted quantity becomes a (value, nbits) *field*;
 2. an exclusive prefix-sum over ``nbits`` yields each field's absolute bit
-   offset;
-3. each field contributes to at most two 32-bit output words
-   (``value << (off & 31)`` into word ``off >> 5`` and the carry into the next
-   word), scattered with bitwise-disjoint adds.
+   offset, hence its output word ``off >> 5`` and phase ``off & 31``;
+3. fields are CONTIGUOUS in bit space, and each is at most 32 bits wide, so
+   every output word (up to the last) contains at least one field start.
+   Therefore each word has exactly one "boundary" field — the last field
+   starting in it — and the running uint32 sum of shifted low contributions,
+   differenced at consecutive boundaries, is exactly the OR of that word's
+   contributions (they are bitwise-disjoint; mod-2^32 wraparound cancels in
+   the difference).  The straddling carry into word w+1 is the boundary
+   field of word w's high part, riding the same compaction.
+4. boundary fields are compacted into word order with one stable sort
+   (boundaries are already in word order, so the sort is a partition).
 
 DEFLATE's LSB-first bit order is exactly little-endian uint32 word order, so
 the word buffer reinterpreted as bytes IS the bitstream.
@@ -16,33 +25,34 @@ the word buffer reinterpreted as bytes IS the bitstream.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def pack_fields(values, nbits, num_words: int, base_bit=0):
+def pack_fields(values, nbits, num_words: int):
     """Pack bit fields into a little-endian uint32 word buffer.
 
     Args:
       values: uint32[F] field values (only the low ``nbits`` bits are used).
-      nbits: int32[F] field widths, 0..16; width-0 fields are skipped.
-      num_words: static output buffer size in 32-bit words.
-      base_bit: bit offset at which the first field starts.
+      nbits: int32[F] field widths, 0..32; width-0 fields are skipped.
+      num_words: static output buffer size in 32-bit words (must not exceed
+        the field count — true for every chunk configuration, asserted).
 
     Returns:
-      (words: uint32[num_words], total_bits: int32 scalar) where total_bits
-      includes ``base_bit``.
+      (words: uint32[num_words], total_bits: int32 scalar).
     """
+    F = values.shape[0]
+    assert F >= num_words, (F, num_words)
     nbits = nbits.astype(jnp.uint32)
-    # Mask values to their declared width (up to 32 bits per field) so the
-    # disjoint-add scatter stays disjoint.
-    # 2 << (nbits-1) == 2**nbits without a shift-by-32 (nbits <= 32); the
-    # nbits == 0 case is selected away.
+    # Mask values to their declared width (up to 32 bits per field) so word
+    # contributions stay bitwise-disjoint.  2 << (nbits-1) == 2**nbits
+    # without a shift-by-32; the nbits == 0 case is selected away.
     mask = jnp.where(
         nbits == 0, 0, jnp.left_shift(2, nbits - 1).astype(jnp.uint32) - 1
     ).astype(jnp.uint32)
     vals = values.astype(jnp.uint32) & mask
 
-    ends = jnp.cumsum(nbits, dtype=jnp.uint32) + base_bit
+    ends = jnp.cumsum(nbits, dtype=jnp.uint32)
     offs = ends - nbits  # exclusive prefix-sum
     total_bits = ends[-1]
 
@@ -51,12 +61,26 @@ def pack_fields(values, nbits, num_words: int, base_bit=0):
     lo = vals << sh
     hi = jnp.where(sh == 0, 0, vals >> (32 - sh)).astype(jnp.uint32)
 
-    skip = nbits == 0
-    word = jnp.where(skip, num_words, word)  # out-of-range => dropped
-    words = jnp.zeros(num_words, dtype=jnp.uint32)
-    words = words.at[word].add(lo, mode="drop")
-    words = words.at[word + 1].add(hi, mode="drop")
-    return words, total_bits.astype(jnp.int32)
+    # Last field starting in each word.  Zero-width fields share their
+    # successor's offset, so they are never boundaries (except a trailing
+    # run, where flagging the final field is harmless: its lo is 0).
+    nxt_word = jnp.concatenate([word[1:], jnp.full(1, -1, jnp.int32)])
+    boundary = word != nxt_word
+
+    ps = jnp.cumsum(lo, dtype=jnp.uint32)  # mod 2^32; wrap cancels below
+    srt = jax.lax.sort(
+        [(~boundary).astype(jnp.int32), ps, hi], num_keys=1, is_stable=True
+    )
+    t = srt[1][:num_words]
+    h = srt[2][:num_words]
+    t_prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), t[:-1]])
+    h_prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), h[:-1]])
+    out = (t - t_prev) | h_prev
+
+    # Beyond the last real word the compaction holds non-boundary junk.
+    widx = jnp.arange(num_words, dtype=jnp.uint32)
+    out = jnp.where(widx * 32 < total_bits, out, 0)
+    return out, total_bits.astype(jnp.int32)
 
 
 def words_to_bytes(words):

@@ -12,11 +12,13 @@ Chunks are byte-aligned: a non-final chunk ends with an empty stored block
 makes chunks independently encodable and concatenable — the parallel seam the
 build plan (SURVEY.md §2) calls for.
 
-Pipeline stages (all fixed-shape, no data-dependent Python control flow):
-  hash -> rank -> candidates/probe/extend -> lazy-jump graph -> pointer-double
-  reachability -> token compaction -> histograms -> package-merge code lengths
-  -> header RLE -> exact cost decision -> field list -> prefix-sum bit pack,
-plus Adler-32/CRC-32 partials over the chunk's payload bytes.
+Pipeline stages (all fixed-shape, no data-dependent Python control flow;
+tokens live in POSITION space end to end — no compaction, no gathers):
+  hash -> payload sort -> K-probe -> chain extension -> lazy jump steps
+  -> lock-step segmented parse (Pallas, parse_scan.py) -> per-position
+  symbol fields -> one-hot histograms -> package-merge code lengths
+  -> header RLE -> exact cost decision -> field list -> sort-compaction
+  bit pack (bitpack.py), plus Adler-32/CRC-32 partials over the payload.
 """
 
 from __future__ import annotations
@@ -36,11 +38,11 @@ from .code_lengths import CL_CAP, encode_code_lengths
 from .matching import find_matches, find_rle_matches
 from .symbolmap import dist_code, histogram_onehot, length_code, table_lookup
 from .package_merge import package_merge_lengths
-from .parse import build_jumps, extract_tokens, reachable
-from .parse_walk import parse_walk
+from .parse import build_jumps, reachable
+from .parse_scan import parse_scan
 
 HALO = C.WINDOW_SIZE  # history bytes preceding the emit region
-PAD = 40  # tail padding so packed-word probe reads (up to 32 B probes) stay in bounds
+PAD = 72  # tail padding so packed-word probe reads (up to 64 B probes) stay in bounds
 
 
 def out_words(emit_size: int) -> int:
@@ -75,7 +77,6 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     """
     E = emit_size
     N = HALO + E
-    idx = jnp.arange(N, dtype=jnp.int32)
     is_last = jnp.asarray(is_last, dtype=jnp.bool_)
     n = jnp.asarray(n, dtype=jnp.int32)
     hist_len = jnp.asarray(hist_len, dtype=jnp.int32)
@@ -86,13 +87,8 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     mode = options.matcher_mode
     if mode == "hash":
         best_len, best_dist = find_matches(
-            buf,
-            N,
-            n_total,
-            hstart,
-            options.num_candidates,
-            options.extend_top,
-            extension_budget=E // 8,
+            buf, N, n_total, hstart, options.num_candidates,
+            probe_words=options.probe_words,
         )
     elif mode == "rle":
         best_len, best_dist = find_rle_matches(buf, n_total, hstart, N)
@@ -100,37 +96,33 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         best_len = jnp.zeros(N, dtype=jnp.int32)
         best_dist = jnp.zeros(N, dtype=jnp.int32)
 
-    nxt = build_jumps(
-        best_len,
-        best_dist,
-        n_total,
+    # ------------------------------------------------------ parse resolution
+    # Tokens stay in POSITION space end to end (no compaction): the parse
+    # yields a boolean token-start mask; every downstream stage masks by it.
+    # Jump steps over the emit region: 1 for a literal, match length for a
+    # taken match (greedy/lazy resolved elementwise in build_jumps).
+    steps = build_jumps(
+        best_len[HALO:],
+        best_dist[HALO:],
         lazy=options.lazy,
         lazy_if_less_than=min(options.lazy_if_less_than, 258) if options.lazy else 0,
     )
     if jax.default_backend() == "tpu":
-        # Sequential chain walk on the scalar core (parse_walk.py): the XLA
-        # pointer-doubling needs ~17 gather+scatter rounds which are
-        # scalar-bound anyway — walking the actual chain is ~50x cheaper.
-        jump = (nxt[:N] - idx) | (best_dist << 9)
-        packed_toks, tok_dist, count = parse_walk(jump, HALO, n_total, E)
-        pos = packed_toks & 0x1FFFF
-        toks = {
-            "length": packed_toks >> 17,
-            "lit": buf[pos].astype(jnp.int32),
-            "dist": tok_dist,
-            "count": count,
-        }
+        # Lock-step segmented parse kernel (parse_scan.py): 128 segments in
+        # parallel on the VPU + short convergence fix-up — exact parse.
+        is_tok = parse_scan(steps, n)
     else:
-        reach = reachable(nxt, HALO)
-        toks = extract_tokens(reach, nxt, best_dist, buf, HALO, n_total, E)
-        count = toks["count"]
-    tvalid = jnp.arange(E) < count
+        nxt_e = jnp.minimum(jnp.arange(E, dtype=jnp.int32) + steps, E)
+        reach = reachable(jnp.concatenate([nxt_e, jnp.full(1, E, jnp.int32)]), 0)
+        is_tok = reach[:E] & (jnp.arange(E) < n)
+    count = jnp.sum(is_tok.astype(jnp.int32))
+    tvalid = is_tok
 
     # ------------------------- token symbol mapping (arithmetic, gather-free)
-    length = toks["length"]
-    dist = toks["dist"]
+    length = steps
+    dist = jnp.where(steps >= C.MIN_MATCH, best_dist[HALO:], 0)
     is_match = length >= C.MIN_MATCH
-    lit = toks["lit"]
+    lit = buf[HALO : HALO + E].astype(jnp.int32)
 
     lcode, len_extra_n, len_extra_v = length_code(jnp.clip(length, C.MIN_MATCH, C.MAX_MATCH))
     len_extra_n = jnp.where(is_match, len_extra_n, 0)

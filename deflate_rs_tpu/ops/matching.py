@@ -4,7 +4,7 @@ Replaces the reference's per-byte hash-chain walk (``longest_match``,
 matching.rs:87 — its hottest function).  TPU constraint that shapes this
 design (docs/perf_notes.md): XLA TPU gathers/scatters execute ~1 element per
 ~10 ns (scalar-unit bound), so per-candidate gathers are unaffordable.  The
-hot path therefore uses only sorts, shifts and elementwise ops:
+hot path therefore uses only sorts, shifts, scans and elementwise ops:
 
 1. **Payload sort**: positions are sorted by 3-byte hash with their probe
    words (the first 16 bytes, packed) carried as sort payloads — a
@@ -14,14 +14,17 @@ hot path therefore uses only sorts, shifts and elementwise ops:
    becomes *shifted slices*, no gathers.
 2. **Probe**: for k = 1..K, compare each row's probe words against the row
    k above, tracking the best (length, distance) as a packed score.
-3. **Periodic-run matcher**: distances 1..4 are handled exactly in position
-   space with reverse min-scans (covers RLE and small-period data where
-   probe saturation would otherwise be common).
-4. **Residual extension**: the few positions whose probe saturated (16
-   bytes) and that aren't explained by a small-period run are compacted
-   into a fixed budget and extended with per-element gathers — the only
-   gathers in the matcher, on a tiny working set.
-5. One packed scatter (unique indices) maps results back to position order.
+3. **Chain extension** (in position space, after one packed unsort scatter):
+   matches longer than the 16-byte probe window are recovered from the run
+   structure of the best distances themselves.  If positions i..j-1 all hold
+   a valid match at the SAME distance d, then every byte in [i, j+2) equals
+   the byte d back (each position's probe proved its own first 3 bytes), so
+   the match at i provably extends to j - i + 2 bytes.  One reverse min-scan
+   over "distance changed or no match" break points yields this for every
+   position at once — no gathers, no per-candidate walks, and it is exact
+   precisely where long matches live (runs and repeated blocks keep a
+   constant best distance).  Claimed lengths are always valid (never
+   overclaim), which is all DEFLATE requires.
 
 Any parse found this way is legal DEFLATE; only compressed size depends on
 the candidate policy (same argument as the reference's insertion-order note).
@@ -35,11 +38,10 @@ import jax.numpy as jnp
 from ..constants import MAX_MATCH, WINDOW_SIZE
 from .hashing import INVALID_KEY, hash3
 
-# Probe window carried through the sort, in 4-byte words.
-PROBE_WORDS = 4
-PROBE_BYTES = 4 * PROBE_WORDS
-# Small-period distances handled exactly by the run matcher.
-RUN_DISTS = 4
+# Default probe window carried through the sort, in 4-byte words.  Wider
+# probes measure longer matches exactly before chain extension takes over;
+# presets pick their own width (CompressionOptions.probe_words).
+PROBE_WORDS = 8
 
 
 def pack_words(data_padded):
@@ -70,8 +72,25 @@ def _probe_len(words_a, words_b):
     return total
 
 
-def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
-                 extension_budget: int):
+def chain_extend(best_len, best_dist, limit, N: int):
+    """Extend probe-measured matches along constant-distance runs (exact,
+    never overclaims; see module docstring step 3)."""
+    idx = jnp.arange(N, dtype=jnp.int32)
+    ok = best_len >= 3
+    d_prev = jnp.concatenate([jnp.zeros(1, best_dist.dtype) - 1, best_dist[:-1]])
+    bad = ~ok | (best_dist != d_prev)
+    first_bad = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(bad, idx, N), reverse=True
+    )
+    # First break strictly AFTER i; the last matched position still proves
+    # its own 3 probe bytes, hence the +2.
+    first_bad_after = jnp.concatenate([first_bad[1:], jnp.full(1, N, jnp.int32)])
+    l_chain = jnp.minimum(first_bad_after - idx + 2, limit)
+    return jnp.where(ok, jnp.maximum(best_len, l_chain), 0)
+
+
+def find_matches(buf, N: int, n_total, hstart, num_checks: int,
+                 probe_words: int = PROBE_WORDS):
     """Best (length, distance) at every position of one chunk buffer.
 
     Args:
@@ -80,11 +99,7 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
       n_total: dynamic end of valid bytes.
       hstart: dynamic first valid position (history start).
       num_checks: static K — how many sorted-space predecessors to probe.
-      extend_top: static M — how many best candidates to fully extend for
-        probe-saturated positions.
-      extension_budget: static cap on how many positions get full extension
-        per chunk (overflow keeps the 16-byte probe length — still a valid,
-        just not maximal, match).
+      probe_words: static probe window width in 4-byte words.
 
     Returns:
       (best_len, best_dist): int32[N]; best_len == 0 where no match of
@@ -99,49 +114,25 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
     keys = jnp.where(hashable, h, INVALID_KEY)
 
     packed = pack_words(buf)
-    probe_pos = [packed[4 * w : N + 4 * w] for w in range(PROBE_WORDS)]
-
-    # -------------------------------------- exact small-period run matching
-    # For d in 1..RUN_DISTS: length of the run of buf[j] == buf[j-d] starting
-    # at i, via distance-to-next-mismatch (reverse min-scan).  Exact to 258.
-    # Computed up front so it can ride the hash sort as a payload (it vetoes
-    # extension for positions a run already explains).
-    run_len = jnp.zeros(N, jnp.int32)
-    run_dist = jnp.zeros(N, jnp.int32)
-    big = N + MAX_MATCH
-    for d in range(1, RUN_DISTS + 1):
-        eq = jnp.concatenate(
-            [jnp.zeros((d,), jnp.bool_), buf[d:N] == buf[: N - d]]
-        )
-        eq = eq & (idx - d >= hstart) & (idx < n_total)
-        breaks = jnp.where(eq, big, idx)
-        next_break = jax.lax.associative_scan(jnp.minimum, breaks, reverse=True)
-        length = jnp.minimum(next_break - idx, limit)
-        better = length > run_len  # prefer smaller d on ties (first wins)
-        run_len = jnp.where(better, length, run_len)
-        run_dist = jnp.where(better, d, run_dist)
-    has_run = run_len >= 3
+    probe_pos = [packed[4 * w : N + 4 * w] for w in range(probe_words)]
 
     # ------------------------------------------------- payload sort by hash
-    sorted_ops = jax.lax.sort(
-        [keys, idx, run_len] + probe_pos, num_keys=1, is_stable=True
-    )
-    skey, spos, srun = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-    sprobe = sorted_ops[3:]
+    sorted_ops = jax.lax.sort([keys, idx] + probe_pos, num_keys=1, is_stable=True)
+    skey, spos = sorted_ops[0], sorted_ops[1]
+    sprobe = sorted_ops[2:]
 
     # ------------------------------------- probe K sorted-space predecessors
     # Row r-k is the k-th most recent prior position with this hash.  Rolled
     # into a fori_loop (dynamic-sliced shifts) to keep the graph small; each
     # iteration is pure elementwise work over shifted rows — no gathers.
     K = num_checks
-    M = max(1, extend_top)
     valid_row = skey < INVALID_KEY
 
     skey_ext = jnp.concatenate([jnp.full((K,), INVALID_KEY + 1, skey.dtype), skey])
     spos_ext = jnp.concatenate([jnp.zeros((K,), spos.dtype), spos])
     sprobe_ext = [jnp.concatenate([jnp.zeros((K,), w.dtype), w]) for w in sprobe]
 
-    def probe_step(k, tops):
+    def probe_step(k, best):
         start = K - k
         pk = jax.lax.dynamic_slice(skey_ext, [start], [N])
         ppos = jax.lax.dynamic_slice(spos_ext, [start], [N])
@@ -151,121 +142,21 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int, extend_top: int,
             sprobe, [jax.lax.dynamic_slice(w, [start], [N]) for w in sprobe_ext]
         )
         score = jnp.where(ok & (lp >= 3), (lp << 16) | (WINDOW_SIZE + 1 - dist), 0)
-        # Insert into the running top-M slots (bubble insertion).
-        out = []
-        for m in range(M):
-            slot = tops[m]
-            take = score > slot
-            score, slot = jnp.where(take, slot, score), jnp.where(take, score, slot)
-            out.append(slot)
-        return tuple(out)
+        return jnp.maximum(best, score)
 
-    tops0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(M))
-    tops = list(jax.lax.fori_loop(1, K + 1, probe_step, tops0))
+    # Carry zeros derived from a varying operand so the loop type-checks
+    # under shard_map's varying-manual-axes tracking (spos*0 is varying where
+    # a literal zeros array is not).
+    best = jax.lax.fori_loop(1, K + 1, probe_step, spos * 0)
 
-    def unpack(score):
-        ln = score >> 16
-        dist = jnp.where(score > 0, WINDOW_SIZE + 1 - (score & 0xFFFF), 0)
-        return ln, dist
+    # ------------------------------------------------ unsort + chain extend
+    score_pos = jnp.zeros(N, jnp.int32).at[spos].set(best, unique_indices=True)
+    blen = jnp.minimum(score_pos >> 16, limit)
+    bdist = jnp.where(score_pos > 0, WINDOW_SIZE + 1 - (score_pos & 0xFFFF), 0)
 
-    # --------------------------------------- residual full-width extension
-    # Positions whose best probe saturated and whose run match doesn't
-    # already explain the whole remaining span get exact extension.  A second
-    # stable sort brings them to the front (compaction without scatters);
-    # only the first `extension_budget` are extended — overflow keeps the
-    # probe-measured length (valid, just not maximal).
-    slim = jnp.clip(n_total - spos, 0, MAX_MATCH)
-    b0_len_s, _ = unpack(tops[0])
-    needs_ext = (b0_len_s >= PROBE_BYTES) & (slim > PROBE_BYTES) & (srun < slim)
-
-    need_sorted = jax.lax.sort(
-        [(~needs_ext).astype(jnp.int32), spos, slim] + tops, num_keys=1, is_stable=True
-    )
-    need2, spos2, slim2 = need_sorted[0], need_sorted[1], need_sorted[2]
-    tops2 = need_sorted[3:]
-
-    CE = extension_budget
-    row2 = jnp.arange(N, dtype=jnp.int32)
-    in_budget = (need2 == 0) & (row2 < CE)
-
-    epos = jnp.where(in_budget[:CE], spos2[:CE], -1)
-    elim = slim2[:CE]
-    cand_cols, init_cols = [], []
-    for t in tops2:
-        ln, dist = unpack(t[:CE])
-        cand_cols.append(spos2[:CE] - dist)
-        init_cols.append(jnp.where((epos >= 0) & (ln >= 3), jnp.minimum(ln, elim), 0))
-
-    if jax.default_backend() == "tpu":
-        # Scalar-core extension kernel (extend_walk.py): evaluates every
-        # candidate of every compacted lane exactly.
-        from .extend_walk import extend_matches
-
-        res = extend_matches(packed, epos, elim, cand_cols, init_cols)
-        ebest_len = res >> 16
-        ebest_dist = res & 0xFFFF
-    else:
-        ecand = jnp.stack(cand_cols, axis=1)  # (CE, M)
-        einit = jnp.stack(init_cols, axis=1)
-        eok = einit >= PROBE_BYTES
-
-        cur = jnp.where(eok, einit, 0)
-        active = eok & (cur < elim[:, None])
-
-        def cond(state):
-            cur, active = state
-            return jnp.any(active)
-
-        def body(state):
-            cur, active = state
-            wi = packed[jnp.where(active, epos[:, None] + cur, 0)]
-            wc = packed[jnp.where(active, ecand + cur, 0)]
-            m = _matched_bytes(wi ^ wc)
-            inc = jnp.where(active, jnp.minimum(m, elim[:, None] - cur), 0)
-            cur = cur + inc
-            active = active & (m == 4) & (cur < elim[:, None])
-            return cur, active
-
-        cur, _ = jax.lax.while_loop(cond, body, (cur, active))
-        # Unextended candidates keep their exact probe-measured lengths so
-        # backends agree on semantics.
-        cur = jnp.where(eok, cur, einit)
-
-        edists = jnp.stack([epos - c for c in cand_cols], axis=1)
-        escore = jnp.where(einit > 0, cur * (WINDOW_SIZE * 2) - edists, -1)
-        ebest = jnp.argmax(escore, axis=1)
-        ebest_len = jnp.take_along_axis(cur, ebest[:, None], axis=1)[:, 0]
-        ebest_dist = jnp.take_along_axis(edists, ebest[:, None], axis=1)[:, 0]
-        ebest_len = jnp.where(escore.max(axis=1) > 0, ebest_len, 0)
-        ebest_dist = jnp.where(ebest_len > 0, ebest_dist, 0)
-
-    # ------------------------------------------------ final pick and unsort
-    # Extended rows take the kernel result; everything else keeps its best
-    # probe answer (exact when unsaturated; 16-byte floor on budget overflow).
-    ext_len_full = jnp.concatenate([ebest_len, jnp.zeros(N - CE, jnp.int32)])
-    ext_dist_full = jnp.concatenate([ebest_dist, jnp.zeros(N - CE, jnp.int32)])
-    b_len2, b_dist2 = unpack(tops2[0])
-    use_ext = in_budget & (ext_len_full > 0)
-    fin_len2 = jnp.where(use_ext, ext_len_full, b_len2)
-    fin_dist2 = jnp.where(use_ext, ext_dist_full, b_dist2)
-    fin_packed2 = (jnp.minimum(fin_len2, slim2) << 16) | fin_dist2
-
-    fin = jnp.zeros(N, jnp.int32).at[spos2].set(fin_packed2, unique_indices=True)
-    best_len = fin >> 16
-    best_dist = fin & 0xFFFF
-
-    # ------------------------------------------------------------- combine
-    better = (run_len > best_len) | (
-        (run_len == best_len) & has_run & (run_dist < best_dist)
-    )
-    best_len = jnp.where(better, run_len, best_len)
-    best_dist = jnp.where(better, run_dist, best_dist)
-
-    best_len = jnp.minimum(best_len, limit)
+    best_len = chain_extend(blen, bdist, limit, N)
     good = best_len >= 3
-    return jnp.where(good, best_len, 0), jnp.where(good, best_dist, 0)
-
-
+    return jnp.where(good, best_len, 0), jnp.where(good, bdist, 0)
 
 
 def find_rle_matches(data_padded, n_total, hstart, N: int):

@@ -1,0 +1,138 @@
+"""On-TPU validation sweep: the roundtrip/preset/edge matrix on real hardware.
+
+The CPU test suite (tests/) exercises kernel semantics in interpreter mode;
+this script runs the same matrix through the COMPILED TPU path — the branch
+actually used in production (`chunk_encode` on backend 'tpu') — so a
+compiled-Mosaic divergence from interpret mode cannot ship silently.
+
+Usage:  python scripts/tpu_validate.py            # full sweep
+        python scripts/tpu_validate.py --quick    # default preset only
+
+Prints one PASS/FAIL line per case and a summary; exit code 0 iff all pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_cases(data_dir):
+    rng = np.random.default_rng(42)
+    with open(os.path.join(data_dir, "pg11.txt"), "rb") as f:
+        text = f.read()
+
+    cases = {
+        "text_1chunk": text[:65536],
+        "text_multi": text,
+        "text_odd": text[: 65536 + 12345],
+        "empty": b"",
+        "one": b"x",
+        "four": b"abca",
+        "zeros_65537": b"\x00" * 65537,
+        "zeros_200k": b"\x00" * 200_000,
+        "ones_run": b"\xff" * 70_000,
+        "random_64k": rng.integers(0, 256, 65536, dtype=np.uint8).tobytes(),
+        "random_150k": rng.integers(0, 256, 150_000, dtype=np.uint8).tobytes(),
+        "high_bytes": rng.integers(144, 256, 70_000, dtype=np.uint8).tobytes(),
+        "period_2": b"ab" * 40_000,
+        "period_7": b"exampl7" * 11_000,
+        "period_13": (bytes(range(13)) * 6000),
+        "alt_text_bin": (text[:8192] + bytes(rng.integers(0, 256, 8192, dtype=np.uint8))) * 5,
+        "small_alphabet": rng.integers(0, 4, 100_000, dtype=np.uint8).tobytes(),
+        "repeated_block": (lambda b: b + b + b[: len(b) // 2])(
+            rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
+        ),
+        "exact_64k": text[:65536],
+        "exact_128k": (text * 2)[:131072],
+        "boundary_65535": text[:65535],
+        "boundary_65537": text[:65537],
+        "ladder": bytes(range(256)) * 300,
+    }
+    # AFL regression corpus replay, if present.
+    afl_dir = os.path.join(data_dir, "afl")
+    if os.path.isdir(afl_dir):
+        for name in sorted(os.listdir(afl_dir))[:10]:
+            with open(os.path.join(afl_dir, name), "rb") as f:
+                cases[f"afl_{name[:18]}"] = f.read()
+    return cases
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="default preset only")
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import deflate_rs_tpu as dt
+    from deflate_rs_tpu.compression_options import CompressionOptions
+    from deflate_rs_tpu.models.inflate import inflate
+
+    platform = jax.devices()[0].platform
+    print(f"platform: {platform}")
+
+    presets = {"default": CompressionOptions.default()}
+    if not args.quick:
+        presets.update(
+            fast=CompressionOptions.fast(),
+            high=CompressionOptions.high(),
+            rle=CompressionOptions.rle(),
+            huffman_only=CompressionOptions.huffman_only(),
+        )
+
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "data")
+    cases = build_cases(data_dir)
+
+    failures = []
+    n_run = 0
+    t_start = time.perf_counter()
+    for pname, opts in presets.items():
+        for cname, data in cases.items():
+            # Small inputs hit the SMALL_EMIT pipeline tier; keep a couple per
+            # preset but skip the rest to bound compile count.
+            if len(data) <= 4096 and cname not in ("empty", "one", "four"):
+                continue
+            n_run += 1
+            t0 = time.perf_counter()
+            try:
+                out = dt.deflate_bytes_conf(data, opts)
+                dec = zlib.decompress(out, wbits=-15)
+                ok = dec == data
+                # Second oracle: our own spec decoder, on a subset (slow in
+                # Python for big inputs).
+                if ok and len(data) <= 70_000:
+                    ok = inflate(out) == data
+                status = "PASS" if ok else "FAIL"
+            except Exception as e:  # noqa: BLE001
+                status, out = f"ERROR {type(e).__name__}: {e}", b""
+                ok = False
+            dt_s = time.perf_counter() - t0
+            print(f"{status:8s} {pname:13s} {cname:18s} {len(data):8d} -> {len(out):8d}  {dt_s:6.2f}s", flush=True)
+            if not ok:
+                failures.append((pname, cname))
+
+    total_s = time.perf_counter() - t_start
+    print(f"\n{n_run - len(failures)}/{n_run} passed on {platform} in {total_s:.0f}s")
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
