@@ -4,9 +4,10 @@ Counterpart of the reference's convenience layer (lib.rs:110-286:
 ``deflate_bytes[_conf]``, ``deflate_bytes_zlib[_conf]``,
 ``deflate_bytes_gzip[_conf]``).  The input is split into independent 64 KiB
 chunks, each carrying the previous 32 KiB as match history (so parse quality
-matches the reference's sliding window), encoded on device, and concatenated
-byte-aligned on the host.  Checksums come from the device partials combined
-with the streaming identities in ops.checksum.
+matches the reference's sliding window), encoded on device, and bit-spliced
+on the host (models/assembly.py) into one marker-free stream — the same
+framing overhead as the reference's one-shot path.  Checksums come from the
+device partials combined with the streaming identities in ops.checksum.
 """
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ from ..compression_options import Compression, CompressionOptions
 from ..ops import checksum as ck
 from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
 from ..runtime import native
+from .assembly import BitAssembler, splice_encoded_chunk
 from .gzip_header import GzBuilder
 
 # Chunk capacity tiers: small inputs use a small pipeline (lower latency and
@@ -52,14 +54,24 @@ class StreamResult:
         self.isize = isize
 
 
-def compress_stream(data: bytes, options: CompressionOptions) -> StreamResult:
-    """Compress ``data`` into a raw DEFLATE stream (with checksums)."""
+def compress_stream(
+    data: bytes, options: CompressionOptions, *, packed: bool = True
+) -> StreamResult:
+    """Compress ``data`` into a raw DEFLATE stream (with checksums).
+
+    ``packed`` (the default) splices consecutive blocks at arbitrary bit
+    phase — the reference's one-shot framing (sync markers only on explicit
+    flush, compress.rs:257-262).  ``packed=False`` byte-aligns every chunk
+    with a sync marker (the device-assembly framing used by the sharded
+    pipeline, parallel/sharded.py).
+    """
     n = len(data)
     emit = SMALL_EMIT if n <= SMALL_EMIT else FULL_EMIT
     encoder = get_chunk_encoder(options, emit)
 
     pieces = []
     nbytes_list = []
+    asm = BitAssembler(n + n // 128 + 4096) if packed else None
     adler = ck.ADLER_INIT
     crc_raw = 0
     offsets = list(range(0, n, FULL_EMIT)) if n else [0]
@@ -73,16 +85,25 @@ def compress_stream(data: bytes, options: CompressionOptions) -> StreamResult:
                 f"encoder overflow: {total_bits} bits exceeds the "
                 f"{out['words'].size * 32}-bit word buffer (bug)"
             )
-        nbytes_list.append((total_bits + 7) // 8)
-        pieces.append(np.asarray(out["words"]).view(np.uint8))
+        if packed:
+            splice_encoded_chunk(
+                asm, int(out["btype"]), int(out["data_bits"]), out["words"],
+                data[off : off + ln], is_last,
+            )
+        else:
+            nbytes_list.append((total_bits + 7) // 8)
+            pieces.append(np.asarray(out["words"]).view(np.uint8))
         adler = ck.adler32_combine(adler, int(out["s1"]), int(out["s2"]), ln)
         crc_raw = ck.crc32_combine_raw(crc_raw, int(out["crc_raw"]), ln)
 
-    # Ordered assembly of the variable-length chunk payloads (native C++
-    # fast path with a NumPy fallback, runtime/native.py).
-    stream = native.assemble_chunks(
-        np.stack(pieces), np.asarray(nbytes_list, np.int64)
-    )
+    if packed:
+        stream = asm.take_aligned()
+    else:
+        # Ordered assembly of the variable-length chunk payloads (native C++
+        # fast path with a NumPy fallback, runtime/native.py).
+        stream = native.assemble_chunks(
+            np.stack(pieces), np.asarray(nbytes_list, np.int64)
+        )
     return StreamResult(
         deflate=stream,
         adler=ck.adler32_value(adler),

@@ -6,7 +6,9 @@ Python context-manager support.  Bytes are buffered until a full chunk (64 KiB)
 *plus one byte* is available — the extra byte guarantees a chunk is only
 encoded as non-final when data provably follows it, which makes streaming
 output byte-identical to one-shot output for any write split
-(the chunk-determinism invariant, lib.rs:408-433).
+(the chunk-determinism invariant, lib.rs:408-433).  Consecutive chunks are
+bit-spliced (models/assembly.py): sync markers appear only on explicit
+``flush()``, exactly the reference's framing.
 
 ``flush()`` compresses everything buffered and ends byte-aligned with the
 empty-stored-block sync marker ``00 00 FF FF`` (compress.rs:257-262); writing
@@ -22,39 +24,22 @@ from ..compression_options import Compression, CompressionOptions
 from ..ops import checksum as ck
 from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
 from ..utils.debug import ByteAccountant, enabled as debug_enabled
+from .assembly import BitAssembler, splice_encoded_chunk
 from .deflate import FULL_EMIT, SMALL_EMIT, _resolve
 from .gzip_header import GzBuilder
 
 # An empty stored block emitted from a byte-aligned position: 3-bit header
 # (BFINAL=0, BTYPE=stored) + 5 pad bits + LEN=0 + NLEN=0xFFFF.
 SYNC_MARKER = b"\x00\x00\x00\xff\xff"
-# An empty final fixed block (header + EOB) from a byte-aligned position.
+# An empty final fixed block: 3-bit header 0b011 + 7-bit EOB code 0 (10 bits,
+# spliced at any phase by the assembler).
 FINAL_EMPTY_BLOCK = b"\x03\x00"
 
 
-# How many consecutive zero-byte writes _write_all tolerates before raising
+# How many consecutive zero-byte writes _drain tolerates before raising
 # (the analogue of std::io::ErrorKind::WriteZero; reference issue #47 class,
 # tests/test.rs:163-200 — a throttled writer must not spin forever).
 MAX_ZERO_WRITES = 16
-
-
-def _write_all(writer, data: bytes):
-    """Write fully, tolerating partial writes (compress_until_done,
-    writer.rs:15-58).  A writer that repeatedly reports zero progress raises
-    instead of looping forever (WriteZero semantics)."""
-    view = memoryview(data)
-    zero_streak = 0
-    while view:
-        written = writer.write(view)
-        if written is None:
-            written = len(view)  # BufferedIOBase contract
-        if written == 0:
-            zero_streak += 1
-            if zero_streak >= MAX_ZERO_WRITES:
-                raise OSError("writer made no progress (wrote 0 bytes repeatedly)")
-            continue
-        zero_streak = 0
-        view = view[written:]
 
 
 class _DeflateCore:
@@ -71,9 +56,15 @@ class _DeflateCore:
         self.started = False  # any chunk emitted yet?
         self.adler = ck.ADLER_INIT
         self.crc_raw = 0
+        # Persistent bit-phase assembler: consecutive chunks are spliced at
+        # arbitrary bit phase (no per-chunk sync markers), so streaming output
+        # is byte-identical to the one-shot packed stream.  The partial tail
+        # byte lives here between write() calls.
+        self.asm = BitAssembler(FULL_EMIT + (FULL_EMIT >> 3) + 4096)
         self.accountant = ByteAccountant() if debug_enabled() else None
 
-    def _encode(self, payload: bytes, is_last: bool) -> bytes:
+    def _encode(self, payload: bytes, is_last: bool) -> None:
+        """Encode one chunk and splice it into the assembler."""
         emit = SMALL_EMIT if (not self.started and not payload[SMALL_EMIT:] and is_last) else FULL_EMIT
         encoder = get_chunk_encoder(self.options, emit)
         buf = np.zeros(HALO + emit + PAD, dtype=np.uint8)
@@ -89,50 +80,53 @@ class _DeflateCore:
                 f"encoder overflow: {nbytes} B exceeds the {out['words'].size * 4} B "
                 "word buffer (bug — buffer is sized for the worst legal output)"
             )
+        emitted = splice_encoded_chunk(
+            self.asm, int(out["btype"]), int(out["data_bits"]), out["words"],
+            payload, is_last,
+        )
         if self.accountant is not None:
-            self.accountant.account_chunk(len(payload), int(out["total_bits"]), is_last)
+            self.accountant.account_chunk(len(payload), emitted, is_last)
         self.adler = ck.adler32_combine(self.adler, int(out["s1"]), int(out["s2"]), len(payload))
         self.crc_raw = ck.crc32_combine_raw(self.crc_raw, int(out["crc_raw"]), len(payload))
         self.history = (self.history + payload)[-HALO:]
         self.total_in += len(payload)
         self.started = True
-        return np.asarray(out["words"]).astype("<u4").tobytes()[:nbytes]
 
     def feed(self, data) -> list[bytes]:
         """Buffer input; emit compressed bytes for every complete chunk."""
         self.pending += bytes(data)
         if self.accountant is not None:
             self.accountant.consume(len(data))
-        pieces = []
         while len(self.pending) > FULL_EMIT:
             payload = bytes(self.pending[:FULL_EMIT])
             del self.pending[:FULL_EMIT]
-            pieces.append(self._encode(payload, is_last=False))
-        return pieces
+            self._encode(payload, is_last=False)
+        return [self.asm.drain_whole_bytes()]
 
     def sync_flush(self) -> list[bytes]:
         if self.pending:
             payload = bytes(self.pending)
             self.pending.clear()
-            return [self._encode(payload, is_last=False)]
-        if not self.started:
-            # Nothing compressed yet: the sync marker alone still yields a
-            # valid resumable stream.
-            self.started = True
-        return [SYNC_MARKER]
+            self._encode(payload, is_last=False)
+        self.started = True  # a bare marker still yields a resumable stream
+        # Empty stored block at the current phase: byte-aligns the stream
+        # (compress.rs:257-262), leaving the assembler with no partial byte.
+        self.asm.append_sync_marker()
+        return [self.asm.drain_whole_bytes()]
 
     def finish_stream(self) -> list[bytes]:
         payload = bytes(self.pending)
         self.pending.clear()
         if payload or not self.started:
-            pieces = [self._encode(payload, is_last=True)]
+            self._encode(payload, is_last=True)
         else:
             # Data already emitted as non-final chunks: close with an empty
-            # final block.
-            pieces = [FINAL_EMPTY_BLOCK]
+            # final fixed block at the current bit phase (header 0b011 +
+            # 7-bit EOB code 0).
+            self.asm.append(FINAL_EMPTY_BLOCK, 10)
         if self.accountant is not None:
             self.accountant.reconcile()
-        return pieces
+        return [self.asm.take_aligned_drain()]
 
 
 class DeflateEncoder:
@@ -145,6 +139,12 @@ class DeflateEncoder:
         self._core = _DeflateCore(_resolve(options or CompressionOptions.default()))
         self._finished = False
         self._header_written = False
+        # Bytes accepted by the encoder but not yet accepted by the wrapped
+        # writer.  A failed write leaves the remainder here, so a retried
+        # flush()/finish() resumes exactly where the writer stopped — in
+        # particular the gzip trailer can never be half-emitted and then
+        # lost (writer.rs:409-426 buffers it for the same reason).
+        self._outbuf = bytearray()
 
     # -- framing hooks ----------------------------------------------------
 
@@ -156,12 +156,31 @@ class DeflateEncoder:
 
     # -- io.Write surface -------------------------------------------------
 
+    def _drain(self):
+        """Write everything in _outbuf, tolerating partial writes
+        (compress_until_done, writer.rs:15-58).  A writer that repeatedly
+        reports zero progress raises instead of looping forever (the
+        WriteZero analogue; reference issue #47 class, tests/test.rs:163)."""
+        zero_streak = 0
+        while self._outbuf:
+            written = self._writer.write(memoryview(self._outbuf))
+            if written is None:
+                written = len(self._outbuf)  # BufferedIOBase contract
+            if written == 0:
+                zero_streak += 1
+                if zero_streak >= MAX_ZERO_WRITES:
+                    raise OSError("writer made no progress (wrote 0 bytes repeatedly)")
+                continue
+            zero_streak = 0
+            del self._outbuf[:written]
+
     def _emit(self, pieces):
         if not self._header_written:
-            _write_all(self._writer, self._header())
+            self._outbuf += self._header()
             self._header_written = True
         for p in pieces:
-            _write_all(self._writer, p)
+            self._outbuf += p
+        self._drain()
 
     def write(self, data) -> int:
         if self._finished:
@@ -179,11 +198,21 @@ class DeflateEncoder:
             self._writer.flush()
 
     def finish(self):
-        """Terminate the stream (BFINAL + trailer); returns the inner writer."""
+        """Terminate the stream (BFINAL + trailer); returns the inner writer.
+
+        If the wrapped writer fails mid-write, the unwritten tail (including
+        the trailer) stays buffered and a subsequent finish() retries it."""
         if not self._finished:
-            self._emit(self._core.finish_stream())
-            _write_all(self._writer, self._trailer())
+            # Stage final block + trailer fully before touching the writer so
+            # a write failure can be retried without re-consuming core state.
+            if not self._header_written:
+                self._outbuf += self._header()
+                self._header_written = True
+            for p in self._core.finish_stream():
+                self._outbuf += p
+            self._outbuf += self._trailer()
             self._finished = True
+        self._drain()
         return self._writer
 
     def reset(self, writer):

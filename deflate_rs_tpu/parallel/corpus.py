@@ -14,6 +14,7 @@ import numpy as np
 
 from .. import constants as C
 from ..compression_options import Compression, CompressionOptions
+from ..models.assembly import BitAssembler, splice_encoded_chunk
 from ..models.deflate import FULL_EMIT, StreamResult, _resolve
 from ..models.gzip_header import GzBuilder
 from ..ops import checksum as ck
@@ -26,8 +27,14 @@ def compress_corpus(
     options: CompressionOptions | Compression | None = None,
     *,
     batch_size: int = 16,
+    packed: bool = True,
 ) -> StreamResult:
-    """Compress ``data`` as one DEFLATE stream using batched device encodes."""
+    """Compress ``data`` as one DEFLATE stream using batched device encodes.
+
+    ``packed`` bit-splices blocks marker-free on the host (identical output
+    to ``models.deflate.compress_stream``); ``packed=False`` keeps every
+    chunk byte-aligned behind a sync marker (the device-assembly framing).
+    """
     options = _resolve(options or CompressionOptions.default())
     n = len(data)
     E = FULL_EMIT
@@ -38,6 +45,7 @@ def compress_corpus(
 
     pieces = []
     nbytes_all = []
+    asm = BitAssembler(n + n // 128 + 4096) if packed else None
     adler = ck.ADLER_INIT
     crc_raw = 0
     for base in range(0, len(offsets), batch_size):
@@ -61,15 +69,27 @@ def compress_corpus(
         s1 = np.asarray(out["s1"])
         s2 = np.asarray(out["s2"])
         crc = np.asarray(out["crc_raw"])
-        for i in range(B):
-            nbytes_all.append((int(bits[i]) + 7) // 8)
+        btypes = np.asarray(out["btype"])
+        dbits = np.asarray(out["data_bits"])
+        for i, off in enumerate(group):
+            if packed:
+                splice_encoded_chunk(
+                    asm, int(btypes[i]), int(dbits[i]), words[i],
+                    data[off : off + int(ns[i])], bool(lasts[i]),
+                )
+            else:
+                nbytes_all.append((int(bits[i]) + 7) // 8)
             adler = ck.adler32_combine(adler, int(s1[i]), int(s2[i]), int(ns[i]))
             crc_raw = ck.crc32_combine_raw(crc_raw, int(crc[i]), int(ns[i]))
-        pieces.append(words)
+        if not packed:
+            pieces.append(words)
 
-    stream = native.assemble_chunks(
-        np.concatenate(pieces, axis=0), np.asarray(nbytes_all, np.int64)
-    )
+    if packed:
+        stream = asm.take_aligned()
+    else:
+        stream = native.assemble_chunks(
+            np.concatenate(pieces, axis=0), np.asarray(nbytes_all, np.int64)
+        )
     return StreamResult(
         deflate=stream,
         adler=ck.adler32_value(adler),

@@ -29,11 +29,11 @@ class ByteAccountant:
     def consume(self, n: int):
         self.consumed += n
 
-    def account_chunk(self, payload_len: int, total_bits: int, is_last: bool):
+    def account_chunk(self, payload_len: int, emitted_bits: int, is_last: bool):
         self.accounted += payload_len
-        if not is_last and total_bits % 8 != 0:
+        if emitted_bits < 0 or (payload_len and emitted_bits == 0):
             raise AssertionError(
-                f"non-final chunk ended off byte boundary ({total_bits} bits)"
+                f"chunk of {payload_len} B accounted {emitted_bits} emitted bits"
             )
 
     def reconcile(self):

@@ -2,8 +2,9 @@
 
 The "multi-node without a real cluster" strategy from SURVEY.md §4: an 8-device
 mesh via --xla_force_host_platform_device_count, exercising the real
-collectives (all_gather of sizes, psum assembly) end to end, with the stream
-validated against the single-device one-shot output and stdlib zlib.
+collectives (all_gather of sizes + offset scan) end to end, with sharded
+outputs assembled host-side and validated against the single-device one-shot
+output and stdlib zlib.
 """
 
 import os
@@ -65,17 +66,52 @@ def test_sharded_matches_oneshot():
     step = make_sharded_encoder(mesh, opts, EMIT)
 
     (bufs, hist, ns, lasts), B = pad_to_multiple(build_batch(data, EMIT), 8)
-    # Padded chunks are empty non-last chunks: they emit only a sync marker,
-    # so mark them non-last and drop their bytes afterwards.
-    stream, nbytes, offsets, s1, s2, crc = step(bufs, hist, ns, lasts)
+    # Padded chunks are empty non-last chunks (sync marker only); their
+    # bytes are dropped by assembling only the first B chunks.
+    out_d = step(bufs, hist, ns, lasts)
+    out = assemble_host(out_d, B)
 
-    nbytes = np.asarray(nbytes)
-    offsets = np.asarray(offsets)
-    raw = np.asarray(stream)
-    pieces = [raw[offsets[i] : offsets[i] + nbytes[i]].tobytes() for i in range(B)]
-    out = b"".join(pieces)
+    # Reference: one-shot single-device encode with the same chunk grid and
+    # the same byte-aligned (sync-marker) framing the device assembly uses.
+    from deflate_rs_tpu.models import deflate as d
 
-    # Reference: one-shot single-device encode with the same chunk grid.
+    orig_full, orig_small = d.FULL_EMIT, d.SMALL_EMIT
+    try:
+        d.FULL_EMIT, d.SMALL_EMIT = EMIT, 0
+        expected = d.compress_stream(
+            data, CompressionOptions.default(), packed=False
+        ).deflate
+    finally:
+        d.FULL_EMIT, d.SMALL_EMIT = orig_full, orig_small
+
+    assert zlib.decompress(out, wbits=-15) == data
+    assert out == expected
+
+    # Checksum partials combine to the stdlib values.
+    s1, s2, crc = np.asarray(out_d["s1"]), np.asarray(out_d["s2"]), np.asarray(out_d["crc_raw"])
+    adler = ck.ADLER_INIT
+    crc_raw = 0
+    for i in range(B):
+        ln = int(ns[i])
+        adler = ck.adler32_combine(adler, int(s1[i]), int(s2[i]), ln)
+        crc_raw = ck.crc32_combine_raw(crc_raw, int(crc[i]), ln)
+    assert ck.adler32_value(adler) == zlib.adler32(data)
+    assert ck.crc32_from_raw(crc_raw, len(data)) == zlib.crc32(data)
+
+
+def test_sharded_packed_matches_oneshot_packed():
+    """Marker-free splicing of sharded output must equal the one-shot packed
+    stream byte for byte."""
+    with open(os.path.join(DATA_DIR, "pg11.txt"), "rb") as f:
+        data = f.read()[:60_000]
+
+    mesh = make_mesh(8)
+    step = make_sharded_encoder(mesh, CompressionOptions.default(), EMIT)
+    (bufs, hist, ns, lasts), B = pad_to_multiple(build_batch(data, EMIT), 8)
+    out_d = step(bufs, hist, ns, lasts)
+    payloads = [data[i * EMIT : i * EMIT + int(ns[i])] for i in range(B)]
+    out = assemble_host(out_d, B, packed=True, payloads=payloads, is_lasts=lasts[:B])
+
     from deflate_rs_tpu.models import deflate as d
 
     orig_full, orig_small = d.FULL_EMIT, d.SMALL_EMIT
@@ -88,27 +124,26 @@ def test_sharded_matches_oneshot():
     assert zlib.decompress(out, wbits=-15) == data
     assert out == expected
 
-    # Checksum partials combine to the stdlib values.
-    adler = ck.ADLER_INIT
-    crc_raw = 0
-    for i in range(B):
-        ln = int(ns[i])
-        adler = ck.adler32_combine(adler, int(s1[i]), int(s2[i]), ln)
-        crc_raw = ck.crc32_combine_raw(crc_raw, int(crc[i]), ln)
-    assert ck.adler32_value(adler) == zlib.adler32(data)
-    assert ck.crc32_from_raw(crc_raw, len(data)) == zlib.crc32(data)
 
-
-def test_sharded_stream_is_contiguous():
-    """Offsets from the collective scan must tile the stream exactly."""
+def test_sharded_outputs_stay_sharded_and_offsets_tile():
+    """Outputs must remain sharded over the mesh (no replicated whole-stream
+    buffer — VERDICT.md weak #6) and the collective offset scan must tile the
+    stream exactly."""
     rng = np.random.default_rng(5)
     data = rng.integers(0, 256, 40_000, dtype=np.uint8).tobytes()
     mesh = make_mesh(8)
     step = make_sharded_encoder(mesh, CompressionOptions.fast(), EMIT)
     (bufs, hist, ns, lasts), B = pad_to_multiple(build_batch(data, EMIT), 8)
-    stream, nbytes, offsets, *_ = step(bufs, hist, ns, lasts)
-    nbytes, offsets = np.asarray(nbytes), np.asarray(offsets)
+    out_d = step(bufs, hist, ns, lasts)
+
+    # Every per-chunk output is sharded over the data axis: each device
+    # holds exactly Bp/8 chunks of the words array, not a replica.
+    words = out_d["words"]
+    shard_rows = {s.data.shape[0] for s in words.addressable_shards}
+    assert shard_rows == {words.shape[0] // 8}
+
+    nbytes, offsets = np.asarray(out_d["nbytes"]), np.asarray(out_d["offsets"])
     assert offsets[0] == 0
     np.testing.assert_array_equal(offsets[1:], (offsets + nbytes)[:-1])
-    out = assemble_host(stream, nbytes, offsets)
+    out = assemble_host(out_d, B)
     assert zlib.decompress(out, wbits=-15) == data
