@@ -54,3 +54,24 @@ def test_issue18_bin_vs_zlib():
     theirs = len(zlib.compress(data, 6)) - 6
     # Allow a small slack on this binary regression input; track closely.
     assert ours <= theirs * 1.02, f"{ours} vs zlib-6 {theirs}"
+
+
+# Tracked absolute sizes on pg11 (raw DEFLATE, packed framing).  These are
+# regression ceilings: any matcher/packing change that grows output past
+# them must be deliberate.  When a change improves ratio, tighten the pin.
+PG11_GOLDEN_CEILINGS = {
+    "fast": 76051,
+    "default": 60575,
+    "high": 60355,
+    "rle": 98007,
+    "huffman_only": 97993,
+}
+
+
+@pytest.mark.parametrize("preset", sorted(PG11_GOLDEN_CEILINGS))
+def test_pg11_size_golden(pg11, preset):
+    opts = getattr(CompressionOptions, preset)()
+    size = len(dt.deflate_bytes_conf(pg11, opts))
+    assert size <= PG11_GOLDEN_CEILINGS[preset], (
+        f"{preset}: {size} > pinned {PG11_GOLDEN_CEILINGS[preset]}"
+    )
