@@ -1,4 +1,5 @@
-"""Headline benchmark: single-chip encode throughput at Compression::Default.
+"""Headline benchmark: single-chip end-to-end encode throughput at
+Compression::Default.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is measured GB/s against the 1 GB/s/chip north star
@@ -6,10 +7,14 @@ vs_baseline is measured GB/s against the 1 GB/s/chip north star
 random / runs) tiled to ~32 MiB, since the real Silesia corpus is not
 available in this image (zero egress).
 
+The timed region is the REAL user path — ``parallel.corpus.compress_corpus``:
+batched device encodes (LZ77 + Huffman + bit packing), host-side marker-free
+bit splicing, and native host checksums — everything a caller of
+``deflate_bytes`` pays except input staging.  Output is validated against
+stdlib zlib after timing.
+
 Runs on whatever platform JAX resolves (the TPU chip under the driver; CPU if
-forced).  The timed region is the full device pipeline per 64 KiB chunk
-batch: LZ77 + Huffman + bit packing + checksums, with all outputs
-materialized on device.
+forced).
 """
 
 import json
@@ -51,86 +56,44 @@ def main():
     except Exception:
         pass
 
-    import deflate_rs_tpu  # noqa: F401  (path check)
-    from deflate_rs_tpu.compression_options import CompressionOptions
-    from deflate_rs_tpu.ops.chunk_encode import HALO, PAD, get_batch_encoder
+    import zlib
+
+    from deflate_rs_tpu.parallel.corpus import compress_corpus
 
     platform = jax.devices()[0].platform
-    emit = 65536
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     total_mb = int(os.environ.get("BENCH_MB", "8"))
 
     data = build_corpus(total_mb << 20)
     n = len(data)
-    arr = np.frombuffer(data, np.uint8)
 
-    # Build all chunk buffers (host side, not timed: this is I/O staging).
-    offs = list(range(0, n, emit))
-    nchunks = len(offs) - len(offs) % batch  # whole batches only
-    bufs = np.zeros((nchunks, HALO + emit + PAD), np.uint8)
-    for i in range(nchunks):
-        off = offs[i]
-        h = min(off, HALO)
-        if h:
-            bufs[i, HALO - h : HALO] = arr[off - h : off]
-        bufs[i, HALO : HALO + emit] = arr[off : off + emit]
-    hist = np.minimum(np.asarray(offs[:nchunks]), HALO).astype(np.int32)
-    ns = np.full(nchunks, emit, np.int32)
-    lasts = np.zeros(nchunks, bool)
-
-    encoder = get_batch_encoder(CompressionOptions.default(), emit)
-
-    nb = nchunks // batch
-    dev_batches = [
-        (
-            jax.device_put(bufs[k * batch : (k + 1) * batch]),
-            jax.device_put(hist[k * batch : (k + 1) * batch]),
-            jax.device_put(ns[k * batch : (k + 1) * batch]),
-            jax.device_put(lasts[k * batch : (k + 1) * batch]),
-        )
-        for k in range(nb)
-    ]
-
-    # Warmup / compile.  NOTE: on the tunnel-attached TPU platform,
-    # block_until_ready returns before execution completes, so we force
-    # synchronization with a device->host fetch.  Executions are FIFO per
-    # device, so fetching the *last* output waits for everything before it.
-    out = encoder(*dev_batches[0])
-    np.asarray(out["total_bits"])
+    # Warmup / compile (on a distinct prefix so chunk shapes match).
+    warm = compress_corpus(data[: 65536 * batch], batch_size=batch)
+    assert zlib.decompress(warm.deflate, wbits=-15) == data[: 65536 * batch]
 
     t0 = time.perf_counter()
-    outs = []
-    for b in dev_batches:
-        outs.append(encoder(*b))
-    np.asarray(outs[-1]["total_bits"])  # sync barrier (FIFO queue)
+    res = compress_corpus(data, batch_size=batch)
     t1 = time.perf_counter()
 
-    encoded_bytes = nb * batch * emit
     secs = t1 - t0
-    gbps = encoded_bytes / secs / 1e9
+    gbps = n / secs / 1e9
 
-    # Sanity: spot-check one chunk roundtrips.
-    import zlib
+    # Validate after timing: stdlib oracle + checksums.
+    assert zlib.decompress(res.deflate, wbits=-15) == data, "bench roundtrip failed"
+    assert res.adler == zlib.adler32(data)
+    assert res.crc32 == zlib.crc32(data)
 
-    w = np.asarray(outs[0]["words"][0])
-    tb = int(outs[0]["total_bits"][0])
-    piece = w.astype("<u4").tobytes()[: (tb + 7) // 8]
-    first = arr[:emit].tobytes()
-    dec = zlib.decompressobj(wbits=-15).decompress(piece)
-    assert dec == first, "bench output failed roundtrip spot check"
-
-    comp = sum(int(t) for o in outs for t in np.asarray(o["total_bits"])) // 8
     print(
         json.dumps(
             {
-                "metric": "encode_gbps_silesia_like_default",
+                "metric": "encode_gbps_silesia_like_default_e2e",
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / 1.0, 4),
                 "platform": platform,
-                "encoded_mb": encoded_bytes >> 20,
+                "encoded_mb": n >> 20,
                 "seconds": round(secs, 3),
-                "ratio": round(comp / encoded_bytes, 4),
+                "ratio": round(len(res.deflate) / n, 4),
             }
         )
     )

@@ -130,11 +130,13 @@ class CompressionOptions:
         """Probe window width in 4-byte words (matching.py).
 
         The probe measures match lengths exactly up to 4*probe_words bytes;
-        chain extension recovers longer constant-distance runs.  Measured on
-        pg11: 8 words keeps default under zlib -6 (60584 < 60608); high needs
-        16 to stay under zlib -9 (60365 < 60385).
+        chain extension recovers longer constant-distance runs.  Probe cost
+        is linear in width, so default trades the last ~90 B on pg11 for a
+        ~25% cheaper probe: 6 words keeps default under zlib -6
+        (60480 < 60608 with block splitting); high needs 16 to stay under
+        zlib -9 (60164 < 60385).
         """
-        return 16 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 8
+        return 16 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 6
 
     @property
     def lazy(self) -> bool:

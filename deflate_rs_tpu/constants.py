@@ -32,6 +32,10 @@ MIN_NUM_DIST_CODES = 1  # HDIST floor
 BTYPE_STORED = 0
 BTYPE_FIXED = 1
 BTYPE_DYNAMIC = 2
+# Reported (not wire-level) chunk block type: the chunk was cut into
+# multiple Huffman blocks with per-block tables (ops/chunk_encode.py
+# composition search).  Splices like any Huffman chunk.
+BTYPE_SPLIT = 3
 
 # Stored blocks: LEN is u16 so <= 65535; we emit aligned 32 KiB sub-blocks
 # (the reference caps at 32767, stored_block.rs:11 — equal header overhead for

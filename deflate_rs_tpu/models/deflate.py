@@ -16,7 +16,6 @@ import numpy as np
 
 from .. import constants as C
 from ..compression_options import Compression, CompressionOptions
-from ..ops import checksum as ck
 from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
 from ..runtime import native
 from .assembly import BitAssembler, splice_encoded_chunk
@@ -67,13 +66,14 @@ def compress_stream(
     """
     n = len(data)
     emit = SMALL_EMIT if n <= SMALL_EMIT else FULL_EMIT
-    encoder = get_chunk_encoder(options, emit)
+    # Checksums run on the host (native C slice-by-8, GB/s) — the device
+    # CRC tree is a material fraction of encode time and the host holds the
+    # bytes anyway.  The sharded pipeline keeps device checksums.
+    encoder = get_chunk_encoder(options, emit, with_checksums=False)
 
     pieces = []
     nbytes_list = []
     asm = BitAssembler(n + n // 128 + 4096) if packed else None
-    adler = ck.ADLER_INIT
-    crc_raw = 0
     offsets = list(range(0, n, FULL_EMIT)) if n else [0]
     for off in offsets:
         ln = min(n - off, FULL_EMIT)
@@ -93,8 +93,6 @@ def compress_stream(
         else:
             nbytes_list.append((total_bits + 7) // 8)
             pieces.append(np.asarray(out["words"]).view(np.uint8))
-        adler = ck.adler32_combine(adler, int(out["s1"]), int(out["s2"]), ln)
-        crc_raw = ck.crc32_combine_raw(crc_raw, int(out["crc_raw"]), ln)
 
     if packed:
         stream = asm.take_aligned()
@@ -106,8 +104,8 @@ def compress_stream(
         )
     return StreamResult(
         deflate=stream,
-        adler=ck.adler32_value(adler),
-        crc32=ck.crc32_from_raw(crc_raw, n),
+        adler=native.adler32(data),
+        crc32=native.crc32(data),
         isize=n % (1 << 32),
     )
 

@@ -21,8 +21,8 @@ import numpy as np
 
 from .. import constants as C
 from ..compression_options import Compression, CompressionOptions
-from ..ops import checksum as ck
 from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
+from ..runtime import native
 from ..utils.debug import ByteAccountant, enabled as debug_enabled
 from .assembly import BitAssembler, splice_encoded_chunk
 from .deflate import FULL_EMIT, SMALL_EMIT, _resolve
@@ -54,8 +54,11 @@ class _DeflateCore:
         self.history = b""
         self.total_in = 0
         self.started = False  # any chunk emitted yet?
-        self.adler = ck.ADLER_INIT
-        self.crc_raw = 0
+        # Running checksums over consumed bytes, updated incrementally on the
+        # host (native C, runtime/native.py) — the device partial-combine
+        # identities remain available for the sharded pipeline.
+        self.adler_v = 1
+        self.crc_v = 0
         # Persistent bit-phase assembler: consecutive chunks are spliced at
         # arbitrary bit phase (no per-chunk sync markers), so streaming output
         # is byte-identical to the one-shot packed stream.  The partial tail
@@ -66,7 +69,7 @@ class _DeflateCore:
     def _encode(self, payload: bytes, is_last: bool) -> None:
         """Encode one chunk and splice it into the assembler."""
         emit = SMALL_EMIT if (not self.started and not payload[SMALL_EMIT:] and is_last) else FULL_EMIT
-        encoder = get_chunk_encoder(self.options, emit)
+        encoder = get_chunk_encoder(self.options, emit, with_checksums=False)
         buf = np.zeros(HALO + emit + PAD, dtype=np.uint8)
         hist = self.history[-HALO:]
         if hist:
@@ -86,8 +89,8 @@ class _DeflateCore:
         )
         if self.accountant is not None:
             self.accountant.account_chunk(len(payload), emitted, is_last)
-        self.adler = ck.adler32_combine(self.adler, int(out["s1"]), int(out["s2"]), len(payload))
-        self.crc_raw = ck.crc32_combine_raw(self.crc_raw, int(out["crc_raw"]), len(payload))
+        self.adler_v = native.adler32(payload, self.adler_v)
+        self.crc_v = native.crc32(payload, self.crc_v)
         self.history = (self.history + payload)[-HALO:]
         self.total_in += len(payload)
         self.started = True
@@ -253,7 +256,7 @@ class ZlibEncoder(DeflateEncoder):
         return C.zlib_header()
 
     def _trailer(self) -> bytes:
-        return ck.adler32_value(self._core.adler).to_bytes(4, "big")
+        return self._core.adler_v.to_bytes(4, "big")
 
 
 class GzEncoder(DeflateEncoder):
@@ -281,5 +284,6 @@ class GzEncoder(DeflateEncoder):
         return old
 
     def _trailer(self) -> bytes:
-        crc = ck.crc32_from_raw(self._core.crc_raw, self._core.total_in)
-        return crc.to_bytes(4, "little") + (self._core.total_in % (1 << 32)).to_bytes(4, "little")
+        return self._core.crc_v.to_bytes(4, "little") + (
+            self._core.total_in % (1 << 32)
+        ).to_bytes(4, "little")

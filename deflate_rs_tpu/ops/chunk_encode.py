@@ -60,8 +60,50 @@ _SH_BITS = np.array([3, 5, 16, 16], np.int32)
 _SY_VALS = np.array([0, 0, 0x0000, 0xFFFF], np.uint32)
 _SY_BITS = np.array([3, 0, 16, 16], np.int32)
 
+# ---------------------------------------------------------------------------
+# Intra-chunk block splitting (the reference re-decides block type and
+# rebuilds tables every <=31744 tokens, output_writer.rs:19 +
+# compress.rs:186-247).  Here the emit region is cut into NQ quarters at
+# STATIC positions; the encoder scores every contiguous quarter range with
+# its own optimal tables and picks the cheapest composition of ranges into
+# blocks — one block per chunk stays available as composition 0.  Match
+# tokens may cross a seam (they belong to the block of their start position,
+# and DEFLATE match history is stream-wide), so the parse is unchanged; only
+# the entropy coding adapts.
+# ---------------------------------------------------------------------------
 
-def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: CompressionOptions):
+NQ = 4  # quarters per chunk
+RANGES = [(i, j) for i in range(NQ) for j in range(i + 1, NQ + 1)]
+RANGE_ID = {r: k for k, r in enumerate(RANGES)}
+
+
+def _make_compositions():
+    comps = []
+    for mask in range(1 << (NQ - 1)):
+        bounds = [0] + [b + 1 for b in range(NQ - 1) if (mask >> b) & 1] + [NQ]
+        comps.append(tuple((bounds[t], bounds[t + 1]) for t in range(len(bounds) - 1)))
+    comps.sort(key=len)  # argmin picks the FIRST min => fewer blocks on ties
+    return comps
+
+
+COMPS = _make_compositions()
+# Per (quarter, composition) host constants driving the dynamic selectors.
+_HDR_START = np.array(
+    [[int(any(r[0] == q for r in c)) for c in COMPS] for q in range(NQ)], np.int32
+)
+_BLK_END = np.array(
+    [[int(any(r[1] == q + 1 for r in c)) for c in COMPS] for q in range(NQ)], np.int32
+)
+_RID_Q = np.array(
+    [[RANGE_ID[next(r for r in c if r[0] <= q < r[1])] for c in COMPS] for q in range(NQ)],
+    np.int32,
+)
+_LAST_START = np.array([max(r[0] for r in c) for c in COMPS], np.int32)
+_WHOLE_RID = RANGE_ID[(0, NQ)]
+
+
+def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: CompressionOptions,
+                 with_checksums: bool = True):
     """Encode one chunk. See module docstring for the layout.
 
     Args:
@@ -71,9 +113,13 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
       is_last: bool scalar — set BFINAL and omit the trailing sync marker.
       emit_size: static chunk capacity (power of two).
       options: static compression options.
+      with_checksums: compute Adler-32/CRC-32 partials on device.  The
+        sharded pipeline wants them (host may never touch payload bytes);
+        host-driven paths skip them and use the native C checksums instead
+        (runtime/native.py) — the device CRC tree is ~30% of encode time.
 
     Returns dict with the packed bitstream words, total bit count, chosen
-    block type, token count, and checksum partials for the payload.
+    block type, token count, and (if requested) checksum partials.
     """
     E = emit_size
     N = HALO + E
@@ -133,34 +179,65 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     dist_extra_n = jnp.where(is_match, dist_extra_n, 0)
     dist_extra_v = jnp.where(is_match, dist_extra_v, 0)
 
-    l_freq = histogram_onehot(lsym, tvalid, C.NUM_USED_LITLEN)
-    l_freq = l_freq.at[C.END_OF_BLOCK].add(1)
-    d_freq = histogram_onehot(dcode, tvalid & is_match, C.NUM_DIST_SYMBOLS)
+    QL = E // NQ
 
-    # ------------------------------------------- dynamic Huffman code tables
-    l_len_dyn286 = package_merge_lengths(l_freq, C.MAX_CODE_LENGTH)
-    d_len_dyn = package_merge_lengths(d_freq, C.MAX_CODE_LENGTH)
+    # Per-quarter histograms over STATIC position slices (same total one-hot
+    # work as one whole-chunk histogram), then prefix sums give every quarter
+    # range its histogram.  Each range gets its own EOB.
+    lf_q = jnp.stack([
+        histogram_onehot(lsym[q * QL : (q + 1) * QL], tvalid[q * QL : (q + 1) * QL], C.NUM_USED_LITLEN)
+        for q in range(NQ)
+    ])
+    df_q = jnp.stack([
+        histogram_onehot(
+            dcode[q * QL : (q + 1) * QL], (tvalid & is_match)[q * QL : (q + 1) * QL], C.NUM_DIST_SYMBOLS
+        )
+        for q in range(NQ)
+    ])
+    lf_cum = jnp.concatenate([jnp.zeros((1, C.NUM_USED_LITLEN), jnp.int32), jnp.cumsum(lf_q, axis=0)])
+    df_cum = jnp.concatenate([jnp.zeros((1, C.NUM_DIST_SYMBOLS), jnp.int32), jnp.cumsum(df_q, axis=0)])
+    l_freq_r = jnp.stack([lf_cum[j] - lf_cum[i] for (i, j) in RANGES])  # [R, 286]
+    d_freq_r = jnp.stack([df_cum[j] - df_cum[i] for (i, j) in RANGES])  # [R, 30]
+    l_freq_r = l_freq_r.at[:, C.END_OF_BLOCK].add(1)
+
+    # -------------------------- dynamic Huffman code tables, one per range
+    pm15 = functools.partial(package_merge_lengths, max_len=C.MAX_CODE_LENGTH)
+    l_len_r286 = jax.vmap(pm15)(l_freq_r)  # [R, 286]
+    d_len_r = jax.vmap(pm15)(d_freq_r)  # [R, 30]
 
     sym_l = jnp.arange(C.NUM_USED_LITLEN)
-    last_l = jnp.max(jnp.where(l_len_dyn286 > 0, sym_l, -1))
-    hlit = jnp.clip(last_l + 1, C.MIN_NUM_LITLEN_CODES, C.NUM_USED_LITLEN)
-    sym_d = jnp.arange(C.NUM_DIST_SYMBOLS)
-    last_d = jnp.max(jnp.where(d_len_dyn > 0, sym_d, -1))
-    hdist = jnp.clip(last_d + 1, C.MIN_NUM_DIST_CODES, C.NUM_DIST_SYMBOLS)
-
-    # Concatenated litlen+dist lengths, RLE encoded for the header.
-    j = jnp.arange(CL_CAP, dtype=jnp.int32)
-    cl = jnp.where(
-        j < hlit,
-        l_len_dyn286[jnp.clip(j, 0, C.NUM_USED_LITLEN - 1)],
-        d_len_dyn[jnp.clip(j - hlit, 0, C.NUM_DIST_SYMBOLS - 1)],
+    hlit_r = jnp.clip(
+        jnp.max(jnp.where(l_len_r286 > 0, sym_l[None, :], -1), axis=1) + 1,
+        C.MIN_NUM_LITLEN_CODES, C.NUM_USED_LITLEN,
     )
-    rle = encode_code_lengths(cl, hlit + hdist)
-    clen_len = package_merge_lengths(rle["freq"], C.MAX_CLEN_CODE_LENGTH)
-    clen_codes = canonical_codes(clen_len, C.MAX_CLEN_CODE_LENGTH)
-    clen_in_order = clen_len[C.CLEN_ORDER]  # tracer indexed by a host array
-    last_c = jnp.max(jnp.where(clen_in_order > 0, jnp.arange(19), -1))
-    hclen = jnp.clip(last_c + 1, 4, 19)
+    sym_d = jnp.arange(C.NUM_DIST_SYMBOLS)
+    hdist_r = jnp.clip(
+        jnp.max(jnp.where(d_len_r > 0, sym_d[None, :], -1), axis=1) + 1,
+        C.MIN_NUM_DIST_CODES, C.NUM_DIST_SYMBOLS,
+    )
+
+    # Concatenated litlen+dist lengths, RLE encoded for each range's header.
+    j = jnp.arange(CL_CAP, dtype=jnp.int32)
+    cl_r = jnp.where(
+        j[None, :] < hlit_r[:, None],
+        jnp.take_along_axis(
+            l_len_r286, jnp.broadcast_to(jnp.clip(j, 0, C.NUM_USED_LITLEN - 1), (len(RANGES), CL_CAP)), axis=1
+        ),
+        jnp.take_along_axis(
+            d_len_r, jnp.clip(j[None, :] - hlit_r[:, None], 0, C.NUM_DIST_SYMBOLS - 1), axis=1
+        ),
+    )
+    rle_r = jax.vmap(encode_code_lengths)(cl_r, hlit_r + hdist_r)
+    clen_len_r = jax.vmap(functools.partial(package_merge_lengths, max_len=C.MAX_CLEN_CODE_LENGTH))(
+        rle_r["freq"]
+    )  # [R, 19]
+    clen_codes_r = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CLEN_CODE_LENGTH))(
+        clen_len_r
+    )
+    clen_in_order_r = clen_len_r[:, C.CLEN_ORDER]  # host-const column gather
+    hclen_r = jnp.clip(
+        jnp.max(jnp.where(clen_in_order_r > 0, jnp.arange(19)[None, :], -1), axis=1) + 1, 4, 19
+    )
 
     # ----------------------------------------------------- exact bit costs
     l_extra_tbl = jnp.concatenate(
@@ -170,18 +247,19 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     fixed_l_len286 = _const(C.FIXED_LITLEN_LENGTHS[: C.NUM_USED_LITLEN])
     fixed_d_len = _const(C.FIXED_DIST_LENGTHS)
 
-    dyn_tok_bits = jnp.sum(l_freq * (l_len_dyn286 + l_extra_tbl)) + jnp.sum(
-        d_freq * (d_len_dyn + d_extra_tbl)
+    dyn_tok_bits_r = jnp.sum(l_freq_r * (l_len_r286 + l_extra_tbl[None, :]), axis=1) + jnp.sum(
+        d_freq_r * (d_len_r + d_extra_tbl[None, :]), axis=1
     )
-    fix_tok_bits = jnp.sum(l_freq * (fixed_l_len286 + l_extra_tbl)) + jnp.sum(
-        d_freq * (fixed_d_len + d_extra_tbl)
+    fix_tok_bits_r = jnp.sum(l_freq_r * (fixed_l_len286 + l_extra_tbl)[None, :], axis=1) + jnp.sum(
+        d_freq_r * (fixed_d_len + d_extra_tbl)[None, :], axis=1
     )
-    rle_used = jnp.arange(CL_CAP) < rle["n"]
-    dyn_hdr_bits = (
+    rle_used_r = jnp.arange(CL_CAP)[None, :] < rle_r["n"][:, None]
+    rle_sym_clen_r = jnp.take_along_axis(clen_len_r, rle_r["sym"], axis=1)
+    dyn_hdr_bits_r = (
         14
-        + 3 * hclen
-        + jnp.sum(jnp.where(rle_used, clen_len[rle["sym"]], 0))
-        + jnp.sum(rle["extra_bits"])
+        + 3 * hclen_r
+        + jnp.sum(jnp.where(rle_used_r, rle_sym_clen_r, 0), axis=1)
+        + jnp.sum(rle_r["extra_bits"], axis=1)
     )
 
     n_sub_static = max(1, (E + C.MAX_STORED_BLOCK - 1) // C.MAX_STORED_BLOCK)
@@ -190,85 +268,128 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     n_sub = jnp.sum(sub_present.astype(jnp.int32))
     stored_bits = 40 * n_sub + 8 * n
 
-    dyn_total = 3 + dyn_hdr_bits + dyn_tok_bits
-    fix_total = 3 + fix_tok_bits
-    best = jnp.minimum(jnp.minimum(dyn_total, fix_total), stored_bits)
-    # Tie order mirrors gen_huffman_lengths (huffman_lengths.rs:271-286):
-    # fixed beats stored beats dynamic on equal cost; tiny blocks force fixed.
-    btype = jnp.where(
-        best == fix_total, C.BTYPE_FIXED, jnp.where(best == stored_bits, C.BTYPE_STORED, C.BTYPE_DYNAMIC)
-    )
-    btype = jnp.where(n <= 4, C.BTYPE_FIXED, btype)
+    dyn_total_r = 3 + dyn_hdr_bits_r + dyn_tok_bits_r
+    fix_total_r = 3 + fix_tok_bits_r
+    # Per-range block type: fixed beats dynamic on ties (the reference's
+    # order, gen_huffman_lengths huffman_lengths.rs:271-286); tiny payloads
+    # and ForceFixed pin fixed tables everywhere.
+    force_fix = n <= 4
     if options.special == SpecialOptions.ForceFixed:
-        btype = jnp.full((), C.BTYPE_FIXED, jnp.int32)
-    elif options.special == SpecialOptions.ForceStored:
-        btype = jnp.full((), C.BTYPE_STORED, jnp.int32)
-    is_dyn = btype == C.BTYPE_DYNAMIC
-    is_fix = btype == C.BTYPE_FIXED
-    is_stored = btype == C.BTYPE_STORED
+        force_fix = True
+    r_is_fix = (fix_total_r <= dyn_total_r) | force_fix
+    range_cost = jnp.where(r_is_fix, fix_total_r, dyn_total_r)
 
-    data_bits = jnp.where(
-        is_stored, stored_bits, jnp.where(is_dyn, dyn_total, fix_total)
+    # Composition search: cheapest grouping of quarters into blocks.  COMPS
+    # is sorted by block count, and argmin takes the first minimum, so equal
+    # cost prefers fewer blocks (degenerating to one whole-chunk block).
+    comp_cost = jnp.stack([
+        sum(range_cost[RANGE_ID[r]] for r in comp) for comp in COMPS
+    ])
+    comp_cost = jnp.where(
+        force_fix, jnp.where(jnp.arange(len(COMPS)) == 0, comp_cost, jnp.int32(1 << 30)), comp_cost
+    )
+    best_comp = jnp.argmin(comp_cost).astype(jnp.int32)
+    huff_total = comp_cost[best_comp]
+    comp_onehot = (jnp.arange(len(COMPS)) == best_comp).astype(jnp.int32)
+    is_split = best_comp != 0
+    whole_fix = r_is_fix[_WHOLE_RID]
+
+    # Chunk-level choice vs stored, preserving the reference's tie order
+    # (fixed beats stored beats dynamic).
+    use_stored = (stored_bits < huff_total) | (
+        (stored_bits == huff_total) & ~(~is_split & whole_fix)
+    )
+    use_stored = use_stored & ~force_fix
+    if options.special == SpecialOptions.ForceStored:
+        use_stored = jnp.full((), True, jnp.bool_)
+    is_stored = use_stored
+    huff = ~is_stored
+
+    data_bits = jnp.where(is_stored, stored_bits, huff_total).astype(jnp.int32)
+    btype = jnp.where(
+        is_stored,
+        C.BTYPE_STORED,
+        jnp.where(
+            is_split, C.BTYPE_SPLIT, jnp.where(whole_fix, C.BTYPE_FIXED, C.BTYPE_DYNAMIC)
+        ),
     ).astype(jnp.int32)
 
     # --------------------------------------------------------- field arrays
-    huff = is_dyn | is_fix
+    # Selected per-range tables (dynamic padded to 288 symbols).
+    l_len_sel_r = jnp.where(
+        r_is_fix[:, None],
+        _const(C.FIXED_LITLEN_LENGTHS)[None, :],
+        jnp.concatenate([l_len_r286, jnp.zeros((len(RANGES), 2), jnp.int32)], axis=1),
+    )
+    d_len_sel_r = jnp.where(r_is_fix[:, None], fixed_d_len[None, :], d_len_r)
+    l_code_sel_r = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CODE_LENGTH))(l_len_sel_r)
+    d_code_sel_r = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CODE_LENGTH))(d_len_sel_r)
+    l_pack_r = (l_code_sel_r | (l_len_sel_r.astype(jnp.uint32) << 16)).astype(jnp.int32)
+    d_pack_r = (d_code_sel_r | (d_len_sel_r.astype(jnp.uint32) << 16)).astype(jnp.int32)
 
-    # Selected code tables (dynamic padded to 288 symbols).
-    l_len_dyn = jnp.concatenate([l_len_dyn286, jnp.zeros(2, jnp.int32)])
-    sel_l_len = jnp.where(is_dyn, l_len_dyn, _const(C.FIXED_LITLEN_LENGTHS))
-    sel_d_len = jnp.where(is_dyn, d_len_dyn, fixed_d_len)
-    sel_l_code = canonical_codes(sel_l_len, C.MAX_CODE_LENGTH)
-    sel_d_code = canonical_codes(sel_d_len, C.MAX_CODE_LENGTH)
+    # Per-quarter dynamic selectors from the chosen composition.
+    hdr_on_q = [jnp.sum(comp_onehot * _const(_HDR_START[q])) == 1 for q in range(NQ)]
+    eob_on_q = [jnp.sum(comp_onehot * _const(_BLK_END[q])) == 1 for q in range(NQ)]
+    rid_q = [jnp.sum(comp_onehot * _const(_RID_Q[q])) for q in range(NQ)]
+    q_last = jnp.sum(comp_onehot * _const(_LAST_START))
 
-    # [0] main 3-bit header (huffman blocks only; stored sub-blocks carry
-    # their own headers).
     bfinal = jnp.asarray(is_last).astype(jnp.int32)
-    hdr_v = (bfinal | (btype << 1)).astype(jnp.uint32)[None]
-    hdr_b = jnp.where(huff, 3, 0).astype(jnp.int32)[None]
+    seg_v, seg_b = [], []
+    for q in range(NQ):
+        r = rid_q[q]
+        part_fix = r_is_fix[r]
+        hdr_on = huff & hdr_on_q[q]
+        dyn_on = hdr_on & ~part_fix
 
-    # [1] dynamic header: HLIT/HDIST/HCLEN + clen lengths + RLE symbols.
-    dh_v = jnp.stack([(hlit - 257).astype(jnp.uint32), (hdist - 1).astype(jnp.uint32), (hclen - 4).astype(jnp.uint32)])
-    dh_b = jnp.where(is_dyn, _const(_DH_BITS), 0)
-    co_v = clen_in_order.astype(jnp.uint32)
-    co_b = jnp.where(is_dyn & (jnp.arange(19) < hclen), 3, 0)
-    rle_code_v = clen_codes[rle["sym"]]
-    rle_code_b = jnp.where(rle_used & is_dyn, clen_len[rle["sym"]], 0)
-    rle_ex_v = rle["extra_vals"].astype(jnp.uint32)
-    rle_ex_b = jnp.where(is_dyn, rle["extra_bits"], 0)
-    rle_v = jnp.stack([rle_code_v, rle_ex_v], axis=1).reshape(-1)
-    rle_b = jnp.stack([rle_code_b, rle_ex_b], axis=1).reshape(-1)
+        # Block header: BFINAL only on the last block of the last chunk.
+        bt_bits = jnp.where(part_fix, C.BTYPE_FIXED, C.BTYPE_DYNAMIC).astype(jnp.uint32)
+        bf = jnp.where(q == q_last, bfinal, 0).astype(jnp.uint32)
+        hdr_v = (bf | (bt_bits << 1))[None]
+        hdr_b = jnp.where(hdr_on, 3, 0).astype(jnp.int32)[None]
 
-    # [2] token fields, two per token (code+extra packed; LSB-first means the
-    # Huffman code occupies the low bits and extra bits follow above it).
-    # Code+length tables are packed so each side needs ONE lookup, done as a
-    # one-hot MXU matmul (~7x faster than a gather on TPU).
-    tok_on = tvalid & huff
-    l_pack = table_lookup(
-        (sel_l_code | (sel_l_len.astype(jnp.uint32) << 16)).astype(jnp.int32),
-        lsym,
-        C.NUM_LITLEN_SYMBOLS,
-    )
-    lsym_code = (l_pack & 0xFFFF).astype(jnp.uint32)
-    lsym_len = l_pack >> 16
-    t1v = lsym_code | (len_extra_v.astype(jnp.uint32) << lsym_len.astype(jnp.uint32))
-    t1b = jnp.where(tok_on, lsym_len + len_extra_n, 0)
-    mt = tok_on & is_match
-    d_pack = table_lookup(
-        (sel_d_code | (sel_d_len.astype(jnp.uint32) << 16)).astype(jnp.int32),
-        dcode,
-        C.NUM_DIST_SYMBOLS,
-    )
-    d_code_v = (d_pack & 0xFFFF).astype(jnp.uint32)
-    d_code_l = d_pack >> 16
-    t2v = d_code_v | (dist_extra_v.astype(jnp.uint32) << d_code_l.astype(jnp.uint32))
-    t2b = jnp.where(mt, d_code_l + dist_extra_n, 0)
-    tok_v = jnp.stack([t1v, t2v], axis=1).reshape(-1)
-    tok_b = jnp.stack([t1b, t2b], axis=1).reshape(-1)
+        # Dynamic header: HLIT/HDIST/HCLEN + clen lengths + RLE symbols.
+        hlit = hlit_r[r]
+        dh_v = jnp.stack([
+            (hlit - 257).astype(jnp.uint32),
+            (hdist_r[r] - 1).astype(jnp.uint32),
+            (hclen_r[r] - 4).astype(jnp.uint32),
+        ])
+        dh_b = jnp.where(dyn_on, _const(_DH_BITS), 0)
+        co_v = clen_in_order_r[r].astype(jnp.uint32)
+        co_b = jnp.where(dyn_on & (jnp.arange(19) < hclen_r[r]), 3, 0)
+        rle_sym = rle_r["sym"][r]
+        rle_code_v = clen_codes_r[r][rle_sym]
+        rle_code_b = jnp.where((jnp.arange(CL_CAP) < rle_r["n"][r]) & dyn_on, clen_len_r[r][rle_sym], 0)
+        rle_ex_v = rle_r["extra_vals"][r].astype(jnp.uint32)
+        rle_ex_b = jnp.where(dyn_on, rle_r["extra_bits"][r], 0)
+        rle_v = jnp.stack([rle_code_v, rle_ex_v], axis=1).reshape(-1)
+        rle_b = jnp.stack([rle_code_b, rle_ex_b], axis=1).reshape(-1)
 
-    # [3] end of block.
-    eob_v = sel_l_code[C.END_OF_BLOCK][None]
-    eob_b = jnp.where(huff, sel_l_len[C.END_OF_BLOCK], 0)[None]
+        # Token fields for this quarter's static position slice, coded with
+        # the owning block's tables (packed code|len<<16: ONE one-hot MXU
+        # lookup per side — same total matmul work as the unsplit encoder).
+        sl = slice(q * QL, (q + 1) * QL)
+        tok_on = tvalid[sl] & huff
+        l_pack = table_lookup(l_pack_r[r], lsym[sl], C.NUM_LITLEN_SYMBOLS)
+        lsym_code = (l_pack & 0xFFFF).astype(jnp.uint32)
+        lsym_len = l_pack >> 16
+        t1v = lsym_code | (len_extra_v[sl].astype(jnp.uint32) << lsym_len.astype(jnp.uint32))
+        t1b = jnp.where(tok_on, lsym_len + len_extra_n[sl], 0)
+        mt = tok_on & is_match[sl]
+        d_pack = table_lookup(d_pack_r[r], dcode[sl], C.NUM_DIST_SYMBOLS)
+        d_code_v = (d_pack & 0xFFFF).astype(jnp.uint32)
+        d_code_l = d_pack >> 16
+        t2v = d_code_v | (dist_extra_v[sl].astype(jnp.uint32) << d_code_l.astype(jnp.uint32))
+        t2b = jnp.where(mt, d_code_l + dist_extra_n[sl], 0)
+        tok_v = jnp.stack([t1v, t2v], axis=1).reshape(-1)
+        tok_b = jnp.stack([t1b, t2b], axis=1).reshape(-1)
+
+        # End of block (code of the block that closes after this quarter).
+        eob_v = l_code_sel_r[r, C.END_OF_BLOCK][None]
+        eob_b = jnp.where(huff & eob_on_q[q], l_len_sel_r[r, C.END_OF_BLOCK], 0)[None]
+
+        seg_v += [hdr_v, dh_v, co_v, rle_v, tok_v, eob_v]
+        seg_b += [hdr_b, dh_b, co_b, rle_b, tok_b, eob_b]
 
     # [4] stored sub-blocks: hdr(3) + pad(5) + LEN + NLEN + payload, the
     # payload as 32-bit packed-word fields (4 bytes per field, ragged tail
@@ -311,12 +432,8 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         0,
     )
 
-    values = jnp.concatenate(
-        [hdr_v, dh_v, co_v, rle_v, tok_v, eob_v] + st_segments_v + [sy_v]
-    )
-    nbits = jnp.concatenate(
-        [hdr_b, dh_b, co_b, rle_b, tok_b, eob_b] + st_segments_b + [sy_b]
-    )
+    values = jnp.concatenate(seg_v + st_segments_v + [sy_v])
+    nbits = jnp.concatenate(seg_b + st_segments_b + [sy_b])
 
     # Sized for the worst *legal* output: ForceFixed on all-high literals is
     # 9 bits/byte (fixed codes for 144..255), plus headers/EOB/sync slack.
@@ -325,33 +442,40 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     num_words = out_words(E)
     words, total_bits = pack_fields(values, nbits, num_words)
 
-    # ------------------------------------------------------------ checksums
-    s1, s2 = adler32_parts_device(buf[HALO : HALO + E], n)
-    crc_raw = crc32_raw_device(buf[HALO : HALO + E], n)
-
-    return {
+    out = {
         "words": words,
         "total_bits": total_bits,
         "data_bits": data_bits,
         "btype": btype,
         "ntokens": count,
-        "s1": s1,
-        "s2": s2,
-        "crc_raw": crc_raw,
     }
+    if with_checksums:
+        s1, s2 = adler32_parts_device(buf[HALO : HALO + E], n)
+        out["s1"] = s1
+        out["s2"] = s2
+        out["crc_raw"] = crc32_raw_device(buf[HALO : HALO + E], n)
+    return out
 
 
 @functools.lru_cache(maxsize=None)
-def get_chunk_encoder(options: CompressionOptions, emit_size: int):
+def get_chunk_encoder(options: CompressionOptions, emit_size: int,
+                      with_checksums: bool = True):
     """Jitted single-chunk encoder, cached per (options, size) config."""
 
-    fn = functools.partial(encode_chunk, emit_size=emit_size, options=options)
+    fn = functools.partial(
+        encode_chunk, emit_size=emit_size, options=options,
+        with_checksums=with_checksums,
+    )
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)
-def get_batch_encoder(options: CompressionOptions, emit_size: int):
+def get_batch_encoder(options: CompressionOptions, emit_size: int,
+                      with_checksums: bool = True):
     """Jitted batched (vmapped over chunks) encoder."""
 
-    fn = functools.partial(encode_chunk, emit_size=emit_size, options=options)
+    fn = functools.partial(
+        encode_chunk, emit_size=emit_size, options=options,
+        with_checksums=with_checksums,
+    )
     return jax.jit(jax.vmap(fn))

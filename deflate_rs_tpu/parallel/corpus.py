@@ -17,7 +17,6 @@ from ..compression_options import Compression, CompressionOptions
 from ..models.assembly import BitAssembler, splice_encoded_chunk
 from ..models.deflate import FULL_EMIT, StreamResult, _resolve
 from ..models.gzip_header import GzBuilder
-from ..ops import checksum as ck
 from ..ops.chunk_encode import HALO, PAD, get_batch_encoder
 from ..runtime import native
 
@@ -38,7 +37,8 @@ def compress_corpus(
     options = _resolve(options or CompressionOptions.default())
     n = len(data)
     E = FULL_EMIT
-    encoder = get_batch_encoder(options, E)
+    # Host-side native checksums (see compress_stream); skip the device ones.
+    encoder = get_batch_encoder(options, E, with_checksums=False)
 
     offsets = list(range(0, n, E)) if n else [0]
     arr = np.frombuffer(data, np.uint8) if n else np.zeros(0, np.uint8)
@@ -46,8 +46,6 @@ def compress_corpus(
     pieces = []
     nbytes_all = []
     asm = BitAssembler(n + n // 128 + 4096) if packed else None
-    adler = ck.ADLER_INIT
-    crc_raw = 0
     for base in range(0, len(offsets), batch_size):
         group = offsets[base : base + batch_size]
         B = len(group)
@@ -66,9 +64,6 @@ def compress_corpus(
         out = encoder(bufs, hist, ns, lasts)
         words = np.asarray(out["words"]).view(np.uint8).reshape(B, -1)
         bits = np.asarray(out["total_bits"])
-        s1 = np.asarray(out["s1"])
-        s2 = np.asarray(out["s2"])
-        crc = np.asarray(out["crc_raw"])
         btypes = np.asarray(out["btype"])
         dbits = np.asarray(out["data_bits"])
         for i, off in enumerate(group):
@@ -79,8 +74,6 @@ def compress_corpus(
                 )
             else:
                 nbytes_all.append((int(bits[i]) + 7) // 8)
-            adler = ck.adler32_combine(adler, int(s1[i]), int(s2[i]), int(ns[i]))
-            crc_raw = ck.crc32_combine_raw(crc_raw, int(crc[i]), int(ns[i]))
         if not packed:
             pieces.append(words)
 
@@ -92,8 +85,8 @@ def compress_corpus(
         )
     return StreamResult(
         deflate=stream,
-        adler=ck.adler32_value(adler),
-        crc32=ck.crc32_from_raw(crc_raw, n),
+        adler=native.adler32(data),
+        crc32=native.crc32(data),
         isize=n % (1 << 32),
     )
 

@@ -78,3 +78,38 @@ def test_pathological_extension_overflow():
     data = unit * 4000
     out = dt.deflate_bytes(data)
     assert zlib.decompress(out, wbits=-15) == data
+
+
+@pytest.mark.parametrize("period", [2, 7, 13, 17, 64, 255])
+def test_periodic_ratio_no_cliff(period):
+    """Round-1's fixed extension budget truncated matches on periodic data
+    (VERDICT.md weak #5).  The chain-extension matcher recovers full-length
+    constant-distance runs, so periodic inputs must now compress to near the
+    entropy floor — within 2x of zlib-6, not just 'valid'."""
+    unit = bytes((i * 37 + 11) % 256 for i in range(period))
+    data = unit * (200_000 // period)
+    out = dt.deflate_bytes(data)
+    assert zlib.decompress(out, wbits=-15) == data
+    theirs = len(zlib.compress(data, 6)) - 6
+    assert len(out) <= max(2 * theirs, theirs + 64), (period, len(out), theirs)
+
+
+def test_mixed_content_ratio_tracks_zlib():
+    """Chunks mixing text and binary must stay at-or-under zlib-6 (block
+    splitting; VERDICT.md item 6)."""
+    with open(os.path.join(DATA_DIR, "pg11.txt"), "rb") as f:
+        text = f.read()
+    rng = np.random.default_rng(3)
+    blobs = [
+        text[:30_000],
+        rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes(),
+        b"\x00" * 10_000,
+        text[30_000:60_000],
+        bytes(range(256)) * 40,
+        rng.integers(0, 4, 30_000, dtype=np.uint8).tobytes(),
+    ]
+    data = b"".join(blobs) * 2
+    out = dt.deflate_bytes(data)
+    assert zlib.decompress(out, wbits=-15) == data
+    theirs = len(zlib.compress(data, 6)) - 6
+    assert len(out) <= theirs * 1.02, (len(out), theirs)
