@@ -10,6 +10,9 @@ bench.py's headline number.
 
 from __future__ import annotations
 
+import collections
+import functools
+
 import numpy as np
 
 from .. import constants as C
@@ -17,8 +20,33 @@ from ..compression_options import Compression, CompressionOptions
 from ..models.assembly import BitAssembler, splice_encoded_chunk
 from ..models.deflate import FULL_EMIT, StreamResult, _resolve
 from ..models.gzip_header import GzBuilder
-from ..ops.chunk_encode import HALO, PAD, get_batch_encoder
+from ..ops.chunk_encode import HALO, PAD, encode_chunk
 from ..runtime import native
+
+
+@functools.lru_cache(maxsize=None)
+def _corpus_encoder(options: CompressionOptions, emit_size: int):
+    """Batched encoder returning (stacked int32 meta, word buffer).
+
+    Stacking [total_bits, btype, data_bits] into one (3, B) array means the
+    host pays ONE small synchronizing fetch per batch instead of three —
+    round trips to the device are latency-bound on the tunnel platform.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fn = functools.partial(
+        encode_chunk, emit_size=emit_size, options=options, with_checksums=False
+    )
+
+    def run(bufs, hist, ns, lasts):
+        out = jax.vmap(fn)(bufs, hist, ns, lasts)
+        meta = jnp.stack(
+            [out["total_bits"], out["btype"], out["data_bits"]]
+        ).astype(jnp.int32)
+        return meta, out["words"]
+
+    return jax.jit(run)
 
 
 def compress_corpus(
@@ -27,18 +55,25 @@ def compress_corpus(
     *,
     batch_size: int = 16,
     packed: bool = True,
+    queue_depth: int = 3,
 ) -> StreamResult:
     """Compress ``data`` as one DEFLATE stream using batched device encodes.
 
     ``packed`` bit-splices blocks marker-free on the host (identical output
     to ``models.deflate.compress_stream``); ``packed=False`` keeps every
     chunk byte-aligned behind a sync marker (the device-assembly framing).
+
+    The device work is pipelined: up to ``queue_depth`` batches stay in
+    flight (JAX dispatch is asynchronous and device execution is FIFO), so
+    host-side fetch + bit splicing of batch i overlaps device encode of
+    batches i+1..i+queue_depth.  Wall time approaches
+    max(device total, host total) instead of their sum.
     """
     options = _resolve(options or CompressionOptions.default())
     n = len(data)
     E = FULL_EMIT
     # Host-side native checksums (see compress_stream); skip the device ones.
-    encoder = get_batch_encoder(options, E, with_checksums=False)
+    encoder = _corpus_encoder(options, E)
 
     offsets = list(range(0, n, E)) if n else [0]
     arr = np.frombuffer(data, np.uint8) if n else np.zeros(0, np.uint8)
@@ -46,9 +81,28 @@ def compress_corpus(
     pieces = []
     nbytes_all = []
     asm = BitAssembler(n + n // 128 + 4096) if packed else None
+    inflight = collections.deque()
+
+    def drain_one():
+        group, ns_h, lasts_h, meta_d, words_d = inflight.popleft()
+        meta = np.asarray(meta_d)  # (3, B) — the synchronizing fetch
+        words = np.asarray(words_d).view(np.uint8).reshape(len(ns_h), -1)
+        for i, off in enumerate(group):
+            if packed:
+                splice_encoded_chunk(
+                    asm, int(meta[1, i]), int(meta[2, i]), words[i],
+                    data[off : off + ns_h[i]], lasts_h[i],
+                )
+            else:
+                nbytes_all.append((int(meta[0, i]) + 7) // 8)
+        if not packed:
+            pieces.append(words[: len(group)])
+
     for base in range(0, len(offsets), batch_size):
         group = offsets[base : base + batch_size]
-        B = len(group)
+        # Pad the tail batch to full width: one compiled shape for the whole
+        # run (a second compile costs minutes through the remote tunnel).
+        B = batch_size if len(offsets) > batch_size else len(group)
         bufs = np.zeros((B, HALO + E + PAD), np.uint8)
         hist = np.zeros(B, np.int32)
         ns = np.zeros(B, np.int32)
@@ -61,21 +115,12 @@ def compress_corpus(
             if ln:
                 bufs[i, HALO : HALO + ln] = arr[off : off + ln]
             hist[i], ns[i], lasts[i] = h, ln, off + ln >= n
-        out = encoder(bufs, hist, ns, lasts)
-        words = np.asarray(out["words"]).view(np.uint8).reshape(B, -1)
-        bits = np.asarray(out["total_bits"])
-        btypes = np.asarray(out["btype"])
-        dbits = np.asarray(out["data_bits"])
-        for i, off in enumerate(group):
-            if packed:
-                splice_encoded_chunk(
-                    asm, int(btypes[i]), int(dbits[i]), words[i],
-                    data[off : off + int(ns[i])], bool(lasts[i]),
-                )
-            else:
-                nbytes_all.append((int(bits[i]) + 7) // 8)
-        if not packed:
-            pieces.append(words)
+        meta_d, words_d = encoder(bufs, hist, ns, lasts)
+        inflight.append((group, [int(x) for x in ns], [bool(x) for x in lasts], meta_d, words_d))
+        while len(inflight) > queue_depth:
+            drain_one()
+    while inflight:
+        drain_one()
 
     if packed:
         stream = asm.take_aligned()

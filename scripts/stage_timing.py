@@ -83,7 +83,9 @@ def main():
     bufs, hist, ns, lasts = build_inputs(B, E)
     print(f"platform={jax.devices()[0].platform} B={B} E={E} preset={preset} K={K} PW={PW}")
 
-    full = jax.vmap(functools.partial(ce.encode_chunk, emit_size=E, options=opts))
+    full = jax.vmap(functools.partial(
+        ce.encode_chunk, emit_size=E, options=opts, with_checksums=False
+    ))
     t = sync_time(full, bufs, hist, ns, lasts, iters=4)
     print(f"FULL encode: {t*1e3/B:8.3f} ms/chunk   ({B*E/t/1e9:.4f} GB/s batched)")
     if not args.stages:
