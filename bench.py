@@ -61,18 +61,22 @@ def main():
     from deflate_rs_tpu.parallel.corpus import compress_corpus
 
     platform = jax.devices()[0].platform
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # 256 KiB device chunks amortize the fixed 32 KiB halo (see
+    # compress_corpus docstring); batch 4 keeps the same bytes per device
+    # call as the old 16 x 64 KiB setting.
+    chunk = int(os.environ.get("BENCH_CHUNK_KB", "256")) << 10
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     total_mb = int(os.environ.get("BENCH_MB", "8"))
 
     data = build_corpus(total_mb << 20)
     n = len(data)
 
     # Warmup / compile (on a distinct prefix so chunk shapes match).
-    warm = compress_corpus(data[: 65536 * batch], batch_size=batch)
-    assert zlib.decompress(warm.deflate, wbits=-15) == data[: 65536 * batch]
+    warm = compress_corpus(data[: chunk * batch], batch_size=batch, chunk_size=chunk)
+    assert zlib.decompress(warm.deflate, wbits=-15) == data[: chunk * batch]
 
     t0 = time.perf_counter()
-    res = compress_corpus(data, batch_size=batch)
+    res = compress_corpus(data, batch_size=batch, chunk_size=chunk)
     t1 = time.perf_counter()
 
     secs = t1 - t0

@@ -56,6 +56,7 @@ def compress_corpus(
     batch_size: int = 16,
     packed: bool = True,
     queue_depth: int = 3,
+    chunk_size: int = FULL_EMIT,
 ) -> StreamResult:
     """Compress ``data`` as one DEFLATE stream using batched device encodes.
 
@@ -68,10 +69,19 @@ def compress_corpus(
     host-side fetch + bit splicing of batch i overlaps device encode of
     batches i+1..i+queue_depth.  Wall time approaches
     max(device total, host total) instead of their sum.
+
+    ``chunk_size`` is the per-device-call block granularity (the analogue of
+    pigz's block size).  The default matches the one-shot path byte-exactly;
+    larger chunks (e.g. 262144) amortize the fixed 32 KiB history halo and
+    per-chunk table construction over more payload — ~25% less device work
+    per byte at 256 KiB — at identical ratio (matches are window-limited to
+    32 KiB regardless).  Must be a positive multiple of 4.
     """
     options = _resolve(options or CompressionOptions.default())
     n = len(data)
-    E = FULL_EMIT
+    E = int(chunk_size)
+    if E <= 0 or E % 4:
+        raise ValueError(f"chunk_size must be a positive multiple of 4, got {E}")
     # Host-side native checksums (see compress_stream); skip the device ones.
     encoder = _corpus_encoder(options, E)
 

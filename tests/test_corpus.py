@@ -34,3 +34,21 @@ def test_corpus_matches_oneshot():
 def test_corpus_empty_and_small():
     assert zlib.decompress(compress_corpus_zlib(b"")) == b""
     assert zlib.decompress(compress_corpus_zlib(b"hi")) == b"hi"
+
+
+def test_corpus_large_chunks():
+    """256 KiB device chunks: valid stream, ratio no worse than 64 KiB."""
+    from deflate_rs_tpu.parallel.corpus import compress_corpus
+
+    with open(os.path.join(DATA_DIR, "pg11.txt"), "rb") as f:
+        text = f.read()
+    data = (text * 4)[:600_000]
+
+    big = compress_corpus(data, batch_size=2, chunk_size=262_144)
+    assert zlib.decompress(big.deflate, wbits=-15) == data
+    assert big.adler == zlib.adler32(data)
+
+    small = compress_corpus(data, batch_size=2)
+    # Fewer seams and the same window limit: larger chunks never cost ratio
+    # beyond the removed per-chunk framing (allow a few bytes of noise).
+    assert len(big.deflate) <= len(small.deflate) + 64
