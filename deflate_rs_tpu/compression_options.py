@@ -61,6 +61,13 @@ class CompressionOptions:
     lazy_if_less_than: int = DEFAULT_LAZY_IF_LESS_THAN
     matching_type: MatchingType = MatchingType.Lazy
     special: SpecialOptions = SpecialOptions.Normal
+    # Internal knob set by the corpus path (parallel/corpus.py): candidate
+    # budget compensation for device chunks larger than 64 KiB.  The
+    # suffix-order matcher's neighborhoods dilute with chunk size (more
+    # out-of-window positions share a prefix); scale = chunk_size / 64Ki
+    # restores in-window coverage.  Not part of the user-facing preset
+    # surface; leave at 1 unless you know the chunk size.
+    chain_scale: int = 1
 
     @staticmethod
     def default() -> "CompressionOptions":
@@ -116,27 +123,54 @@ class CompressionOptions:
         return "hash"
 
     @property
-    def num_candidates(self) -> int:
-        """Candidate-set width: the reference's chain-walk budget, capped.
+    def matcher_algo(self) -> str:
+        """'sa' (bounded suffix sort) or 'hash' (hash sort + K-probe).
 
-        All candidates are probed in parallel (16-byte packed compare), so
-        unlike the reference's early-exit chain walk, every budgeted check is
-        a full-quality check.
+        The suffix-order matcher (matching.py find_matches) reaches hash-
+        matcher ratio at half the scan budget and ~30% less device time, so
+        it serves every budget up to 2x the kernel candidate cap.  Budgets
+        beyond that (the high preset's 1768) select the recency-ordered
+        hash matcher (find_matches_hash): its most-recent-K candidate policy
+        squeezes out the last ~0.1% that suffix-order tie-grouping loses,
+        which is the high preset's contract.
         """
-        return max(1, min(self.max_hash_checks, KERNEL_MAX_CANDIDATES))
+        return "hash" if self.max_hash_checks > 2 * KERNEL_MAX_CANDIDATES else "sa"
+
+    @property
+    def num_candidates(self) -> int:
+        """Matcher scan depth from the reference's chain-walk budget.
+
+        For 'sa': K neighbors are scanned on BOTH sides in suffix order, so
+        a budget of ``max_hash_checks`` chain links maps to K = budget/2 —
+        and every budgeted check is a full-quality running-min LCP check,
+        unlike the reference's early-exit chain walk.  Measured on pg11:
+        SA K=64 beats the hash matcher at K=128, which beats zlib -6.
+        For 'hash': the budget itself, capped.
+        """
+        if self.matcher_algo == "hash":
+            return max(1, min(self.max_hash_checks, KERNEL_MAX_CANDIDATES))
+        return max(
+            1,
+            min(self.max_hash_checks * self.chain_scale, KERNEL_MAX_CANDIDATES) // 2,
+        )
 
     @property
     def probe_words(self) -> int:
         """Probe window width in 4-byte words (matching.py).
 
-        The probe measures match lengths exactly up to 4*probe_words bytes;
-        chain extension recovers longer constant-distance runs.  Probe cost
-        is linear in width, so default trades the last ~90 B on pg11 for a
-        ~25% cheaper probe: 6 words keeps default under zlib -6
-        (60480 < 60608 with block splitting); high needs 16 to stay under
-        zlib -9 (60164 < 60385).
+        Match lengths are exact up to 4*probe_words bytes; chain extension
+        recovers longer constant-distance runs.  Probe cost is linear in
+        width: 6 words keeps default under zlib -6, high needs 16 to stay
+        under zlib -9.  Large corpus chunks (chain_scale > 1) get +2 words:
+        with diluted suffix neighborhoods, deeper exact measurement recovers
+        the ratio the 64 KiB baseline gets from proximity (measured:
+        256 KiB chunks at PW=8/K=128 beat both the 64 KiB baseline and
+        zlib -6 on repeated-pg11).
         """
-        return 16 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 6
+        base = 16 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 6
+        if base == 6 and self.chain_scale > 1:
+            return 8
+        return base
 
     @property
     def lazy(self) -> bool:
@@ -145,6 +179,7 @@ class CompressionOptions:
     def cache_key(self) -> tuple:
         return (
             self.matcher_mode,
+            self.matcher_algo,
             self.num_candidates,
             self.probe_words,
             self.lazy,

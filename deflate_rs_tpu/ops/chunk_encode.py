@@ -35,7 +35,7 @@ from .bitpack import pack_fields
 from .canonical import canonical_codes
 from .checksum import adler32_parts_device, crc32_raw_device
 from .code_lengths import CL_CAP, encode_code_lengths
-from .matching import find_matches, find_rle_matches
+from .matching import find_matches, find_matches_hash, find_rle_matches
 from .symbolmap import dist_code, histogram_onehot, length_code, table_lookup
 from .package_merge import package_merge_lengths
 from .parse import build_jumps, reachable
@@ -45,9 +45,19 @@ HALO = C.WINDOW_SIZE  # history bytes preceding the emit region
 PAD = 72  # tail padding so packed-word probe reads (up to 64 B probes) stay in bounds
 
 
-def out_words(emit_size: int) -> int:
-    """Output word-buffer capacity: the 9-bit/byte worst case plus slack."""
-    return (9 * emit_size) // 32 + 2048
+def out_words(emit_size: int, force_fixed: bool = True) -> int:
+    """Output word-buffer capacity.
+
+    Normal/ForceStored modes never exceed the stored bound (the cost model
+    takes min(huffman, stored)): 8 bits/byte + 40 bits per 64 KiB sub-block
+    + sync/byte-align slack — just over emit_size/4 words.  ForceFixed can
+    legally emit 9 bits/byte (fixed codes for literals 144..255), so it
+    needs the 9/8 sizing; callers that know the mode pass force_fixed=False
+    to shrink the buffer (and the host fetch) by ~12%.
+    """
+    if force_fixed:
+        return (9 * emit_size) // 32 + 2048
+    return emit_size // 4 + (emit_size // C.MAX_STORED_BLOCK + 2) * 2 + 64
 
 # Per-chunk layout: buf[HALO - hist_len : HALO] = history, buf[HALO : HALO+n]
 # = payload. The emit region always starts at buffer offset HALO.
@@ -132,7 +142,8 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # ------------------------------------------------------------------ LZ77
     mode = options.matcher_mode
     if mode == "hash":
-        best_len, best_dist = find_matches(
+        matcher = find_matches if options.matcher_algo == "sa" else find_matches_hash
+        best_len, best_dist = matcher(
             buf, N, n_total, hstart, options.num_candidates,
             probe_words=options.probe_words,
         )
@@ -435,11 +446,8 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     values = jnp.concatenate(seg_v + st_segments_v + [sy_v])
     nbits = jnp.concatenate(seg_b + st_segments_b + [sy_b])
 
-    # Sized for the worst *legal* output: ForceFixed on all-high literals is
-    # 9 bits/byte (fixed codes for 144..255), plus headers/EOB/sync slack.
-    # (Match tokens are always cheaper per byte than 9-bit literals, and the
-    # normal cost model never exceeds the stored bound of ~8.005 bits/byte.)
-    num_words = out_words(E)
+    # Sized for the worst *legal* output of the active mode (see out_words).
+    num_words = out_words(E, force_fixed=options.special == SpecialOptions.ForceFixed)
     words, total_bits = pack_fields(values, nbits, num_words)
 
     out = {

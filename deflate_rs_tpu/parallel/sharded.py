@@ -30,7 +30,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..compression_options import CompressionOptions
-from ..ops.chunk_encode import encode_chunk, out_words as _num_words
+from ..ops.chunk_encode import encode_chunk
 from .mesh import DATA_AXIS
 
 
