@@ -310,7 +310,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     use_stored = (stored_bits < huff_total) | (
         (stored_bits == huff_total) & ~(~is_split & whole_fix)
     )
-    use_stored = use_stored & ~force_fix
+    use_stored = use_stored & jnp.logical_not(force_fix)
     if options.special == SpecialOptions.ForceStored:
         use_stored = jnp.full((), True, jnp.bool_)
     is_stored = use_stored

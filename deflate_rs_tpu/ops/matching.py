@@ -150,7 +150,10 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
     best = jax.lax.fori_loop(1, K + 1, probe_step, spos * 0)
 
     # ------------------------------------------------ unsort + chain extend
-    score_pos = jnp.zeros(N, jnp.int32).at[spos].set(best, unique_indices=True)
+    # Un-permute via a second sort keyed by position: spos is a permutation
+    # of iota, so sorting (spos, best) restores position order.  Measured ~2x
+    # faster than the XLA scatter on TPU (scripts/unsort_microbench.py).
+    score_pos = jax.lax.sort([spos, best], num_keys=1, is_stable=False)[1]
     blen = jnp.minimum(score_pos >> 16, limit)
     bdist = jnp.where(score_pos > 0, WINDOW_SIZE + 1 - (score_pos & 0xFFFF), 0)
 
@@ -249,7 +252,8 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int,
     best = jnp.where(svalid, best, 0)
 
     # ------------------------------------------------ unsort + chain extend
-    score_pos = jnp.zeros(N, jnp.int32).at[spos].set(best, unique_indices=True)
+    # Un-permute via a second sort keyed by position (see find_matches_hash).
+    score_pos = jax.lax.sort([spos, best], num_keys=1, is_stable=False)[1]
     blen = jnp.minimum(score_pos >> 16, limit)
     bdist = jnp.where(score_pos > 0, WINDOW_SIZE + 1 - (score_pos & 0xFFFF), 0)
 

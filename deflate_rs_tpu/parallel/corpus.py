@@ -120,6 +120,8 @@ def compress_corpus(
     on repeated-pg11: 256 KiB chunks at the scaled budget beat both the
     64 KiB baseline and zlib -6.
     """
+    import jax
+
     options = _resolve(options or CompressionOptions.default())
     n = len(data)
     E = int(chunk_size)
@@ -139,10 +141,21 @@ def compress_corpus(
     pieces = []
     nbytes_all = []
     asm = BitAssembler(n + n // 128 + 4096) if packed else None
-    inflight = collections.deque()
+    # Two-stage drain pipeline, shaped by the host link (scripts/
+    # link_probe.py: ~34 ms RTT, ~12 MB/s fetch): stage 1 waits on the tiny
+    # meta array and hands the ragged words fetch to a background thread
+    # (plain blocking device_get there — the tunnel platform deadlocks on
+    # copy_to_host_async); stage 2, one batch later, joins the thread.
+    # Device compute of batches i+1.. proceeds under both waits, and the
+    # words D2H transfer overlaps the main thread's splicing.
+    from concurrent.futures import ThreadPoolExecutor
 
-    def drain_one():
-        group, ns_h, lasts_h, meta_d, words_d = inflight.popleft()
+    pool = ThreadPoolExecutor(max_workers=1)
+    compute_q = collections.deque()  # dispatched; meta copy in flight
+    fetch_q = collections.deque()  # words copy in flight
+
+    def start_fetch():
+        group, ns_h, lasts_h, meta_d, words_d = compute_q.popleft()
         meta = np.asarray(meta_d)  # (3, B) — the synchronizing fetch
         # Fetch only the used word prefix: the device buffer is sized for
         # the worst legal output, but typically <50% is populated, and the
@@ -155,7 +168,12 @@ def compress_corpus(
         maxw = words_d.shape[1]
         while maxw // 2 >= need:
             maxw //= 2
-        words = np.asarray(words_d[:, :maxw]).view(np.uint8).reshape(len(ns_h), -1)
+        fut = pool.submit(np.asarray, words_d[:, :maxw])
+        fetch_q.append((group, ns_h, lasts_h, meta, fut))
+
+    def drain_one():
+        group, ns_h, lasts_h, meta, fut = fetch_q.popleft()
+        words = fut.result().view(np.uint8).reshape(len(ns_h), -1)
         for i, off in enumerate(group):
             if packed:
                 splice_encoded_chunk(
@@ -186,6 +204,9 @@ def compress_corpus(
             else:
                 payload = np.zeros(B * E, np.uint8)
                 payload[: n - lo] = arr[lo:]
+            # Explicit async upload: the H2D copy streams while the previous
+            # batches compute / fetch, instead of blocking inside dispatch.
+            payload = jax.device_put(payload)
             meta_d, words_d, prev_tail = _corpus_encoder_flat(options, E, B)(
                 payload, prev_tail, hist, ns, lasts
             )
@@ -198,11 +219,20 @@ def compress_corpus(
                 if ln:
                     bufs[i, HALO : HALO + ln] = arr[off : off + ln]
             meta_d, words_d = encoder(bufs, hist, ns, lasts)
-        inflight.append((group, [int(x) for x in ns], [bool(x) for x in lasts], meta_d, words_d))
-        while len(inflight) > queue_depth:
+        compute_q.append(
+            (group, [int(x) for x in ns], [bool(x) for x in lasts], meta_d, words_d)
+        )
+        if len(compute_q) > queue_depth:
+            start_fetch()
+        if len(fetch_q) > 1:
             drain_one()
-    while inflight:
+    while compute_q:
+        start_fetch()
+        if len(fetch_q) > 1:
+            drain_one()
+    while fetch_q:
         drain_one()
+    pool.shutdown()
 
     if packed:
         stream = asm.take_aligned()

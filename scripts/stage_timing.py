@@ -74,9 +74,13 @@ def main():
     args = ap.parse_args()
 
     B = int(os.environ.get("STAGE_BATCH", "16"))
-    E = 65536
+    E = int(os.environ.get("STAGE_EMIT", "65536"))
     preset = os.environ.get("STAGE_PRESET", "default")
     opts = getattr(CompressionOptions, preset)()
+    if E > 65536 and opts.max_hash_checks:
+        import dataclasses
+
+        opts = dataclasses.replace(opts, chain_scale=max(1, E // 65536))
     K, PW = opts.num_candidates, opts.probe_words
     N = ce.HALO + E
 
