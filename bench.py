@@ -89,6 +89,50 @@ def main():
     assert res.adler == zlib.adler32(data)
     assert res.crc32 == zlib.crc32(data)
 
+    extra = {}
+    if os.environ.get("BENCH_DEVICE_METRICS", "1") != "0":
+        # Secondary honest metrics (fetch-barrier timed, utils/profiling.py):
+        # device-bound batched throughput (what the chip does once host link
+        # overhead is out of the picture) and the single-stream comparison
+        # (multi-chunk concurrency factor).  Non-fatal: the headline e2e
+        # number above stands on its own.
+        try:
+            import functools
+
+            import jax.numpy as jnp
+
+            from deflate_rs_tpu.compression_options import CompressionOptions
+            from deflate_rs_tpu.ops import chunk_encode as ce
+            from deflate_rs_tpu.utils.profiling import sync_time
+
+            opts = CompressionOptions.default()
+            raw = np.frombuffer(data[: batch * chunk + ce.HALO + ce.PAD], np.uint8)
+            bufs = np.stack(
+                [raw[i * chunk : i * chunk + ce.HALO + chunk + ce.PAD] for i in range(batch)]
+            )
+            hist = np.full(batch, ce.HALO, np.int32)
+            ns = np.full(batch, chunk, np.int32)
+            lasts = np.zeros(batch, bool)
+            import jax
+
+            enc = jax.vmap(
+                functools.partial(
+                    ce.encode_chunk, emit_size=chunk, options=opts, with_checksums=False
+                )
+            )
+            tb = sync_time(enc, bufs, hist, ns, lasts, iters=3)
+            t1s = sync_time(
+                enc, bufs[:1], hist[:1], ns[:1], lasts[:1], iters=3
+            )
+            extra = {
+                "device_gbps": round(batch * chunk / tb / 1e9, 4),
+                "device_ms_per_chunk_batched": round(tb * 1e3 / batch, 3),
+                "device_ms_per_chunk_single": round(t1s * 1e3, 3),
+                "batch_speedup": round(t1s * batch / tb, 2),
+            }
+        except Exception as e:  # noqa: BLE001
+            extra = {"device_metrics_error": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -100,6 +144,7 @@ def main():
                 "encoded_mb": n >> 20,
                 "seconds": round(secs, 3),
                 "ratio": round(len(res.deflate) / n, 4),
+                **extra,
             }
         )
     )

@@ -162,6 +162,58 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
     return jnp.where(good, best_len, 0), jnp.where(good, bdist, 0)
 
 
+def sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks: int,
+                probe_words: int):
+    """XLA formulation of the suffix-order LCP + K-deep running-min scan.
+
+    The CPU/reference path; the TPU path runs the fused Pallas kernel
+    (sa_scan.py) over the same sorted operands, and must produce identical
+    packed scores (tested in tests/test_sa_scan.py).
+    """
+    NKEY = len(skeys)
+    N = spos.shape[0]
+
+    # --------------------------- adjacent-row LCP (bytes, <= 4*probe_words)
+    total = None
+    for w in range(NKEY):
+        a = skeys[w]
+        b = jnp.concatenate([jnp.full((1,), ~a[0], a.dtype), a[:-1]])
+        m = jnp.minimum(jax.lax.clz(a ^ b) >> 3, 4).astype(jnp.int32)
+        total = m if total is None else total + jnp.where(total == 4 * w, m, 0)
+    for w, p in enumerate(spay, start=NKEY):
+        b = jnp.concatenate([jnp.zeros((1,), p.dtype), p[:-1]])
+        total = total + jnp.where(total == 4 * w, _matched_bytes(p ^ b), 0)
+    al = total.at[0].set(0)
+
+    # ------------------- K-deep running-min scan, both suffix-order sides
+    K = num_checks
+    svalid = (spos >= hstart) & (spos <= n_total - 3)
+    al_b = jnp.concatenate([jnp.zeros((K,), jnp.int32), al])
+    pos_b = jnp.concatenate([jnp.full((K,), jnp.int32(-(1 << 30))), spos])
+    al_f = jnp.concatenate([al, jnp.zeros((K,), jnp.int32)])
+    pos_f = jnp.concatenate([spos, jnp.full((K,), jnp.int32(1 << 30))])
+
+    def step(k, carry):
+        runb, runf, best = carry
+        ab = jax.lax.dynamic_slice(al_b, [K - k + 1], [N])
+        cb = jax.lax.dynamic_slice(pos_b, [K - k], [N])
+        af = jax.lax.dynamic_slice(al_f, [k], [N])
+        cf = jax.lax.dynamic_slice(pos_f, [k], [N])
+        runb = jnp.minimum(runb, ab)
+        runf = jnp.minimum(runf, af)
+        db = spos - cb
+        df = spos - cf
+        okb = (db >= 1) & (db <= WINDOW_SIZE) & (cb >= hstart) & (runb >= 3)
+        okf = (df >= 1) & (df <= WINDOW_SIZE) & (cf >= hstart) & (runf >= 3)
+        sb = jnp.where(okb, (runb << 16) | (WINDOW_SIZE + 1 - db), 0)
+        sf = jnp.where(okf, (runf << 16) | (WINDOW_SIZE + 1 - df), 0)
+        return runb, runf, jnp.maximum(best, jnp.maximum(sb, sf))
+
+    init = spos * 0 + 4 * probe_words
+    _, _, best = jax.lax.fori_loop(1, K + 1, step, (init, init, spos * 0))
+    return jnp.where(svalid, best, 0)
+
+
 def find_matches(buf, N: int, n_total, hstart, num_checks: int,
                  probe_words: int = PROBE_WORDS):
     """Best (length, distance) per position via a bounded suffix sort.
@@ -211,45 +263,29 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int,
     ops = jax.lax.sort(keys + [idx] + pay, num_keys=NKEY, is_stable=True)
     skeys, spos, spay = list(ops[:NKEY]), ops[NKEY], list(ops[NKEY + 1 :])
 
-    # --------------------------- adjacent-row LCP (bytes, <= 4*probe_words)
-    total = None
-    for w in range(NKEY):
-        a = skeys[w]
-        b = jnp.concatenate([jnp.full((1,), ~a[0], a.dtype), a[:-1]])
-        m = jnp.minimum(jax.lax.clz(a ^ b) >> 3, 4).astype(jnp.int32)
-        total = m if total is None else total + jnp.where(total == 4 * w, m, 0)
-    for w, p in enumerate(spay, start=NKEY):
-        b = jnp.concatenate([jnp.zeros((1,), p.dtype), p[:-1]])
-        total = total + jnp.where(total == 4 * w, _matched_bytes(p ^ b), 0)
-    al = total.at[0].set(0)
+    import os
 
-    # ------------------- K-deep running-min scan, both suffix-order sides
-    K = num_checks
-    svalid = (spos >= hstart) & (spos <= n_total - 3)
-    al_b = jnp.concatenate([jnp.zeros((K,), jnp.int32), al])
-    pos_b = jnp.concatenate([jnp.full((K,), jnp.int32(-(1 << 30))), spos])
-    al_f = jnp.concatenate([al, jnp.zeros((K,), jnp.int32)])
-    pos_f = jnp.concatenate([spos, jnp.full((K,), jnp.int32(1 << 30))])
+    if jax.default_backend() == "tpu" and os.environ.get("DEFLATE_TPU_SA_KERNEL") == "1":
+        # Fused VMEM-resident kernel for the LCP + K-scan (sa_scan.py),
+        # verified bit-identical to the XLA scan on compiled Mosaic.  OFF by
+        # default: measured 0.640 vs 0.567 ms/chunk for the XLA scan (the
+        # per-step roll pair costs more than XLA's dynamic-slice shifts),
+        # and the device time is dominated by the content-key sort anyway.
+        from .sa_scan import sa_scan
 
-    def step(k, carry):
-        runb, runf, best = carry
-        ab = jax.lax.dynamic_slice(al_b, [K - k + 1], [N])
-        cb = jax.lax.dynamic_slice(pos_b, [K - k], [N])
-        af = jax.lax.dynamic_slice(al_f, [k], [N])
-        cf = jax.lax.dynamic_slice(pos_f, [k], [N])
-        runb = jnp.minimum(runb, ab)
-        runf = jnp.minimum(runf, af)
-        db = spos - cb
-        df = spos - cf
-        okb = (db >= 1) & (db <= WINDOW_SIZE) & (cb >= hstart) & (runb >= 3)
-        okf = (df >= 1) & (df <= WINDOW_SIZE) & (cf >= hstart) & (runf >= 3)
-        sb = jnp.where(okb, (runb << 16) | (WINDOW_SIZE + 1 - db), 0)
-        sf = jnp.where(okf, (runf << 16) | (WINDOW_SIZE + 1 - df), 0)
-        return runb, runf, jnp.maximum(best, jnp.maximum(sb, sf))
+        best = sa_scan(
+            jnp.stack(skeys), spos,
+            jnp.stack(spay) if spay else jnp.zeros((0, N), jnp.uint32),
+            hstart, n_total, K=num_checks, init_lcp=4 * probe_words,
+        )
+        score_pos = jax.lax.sort([spos, best], num_keys=1, is_stable=False)[1]
+        blen = jnp.minimum(score_pos >> 16, limit)
+        bdist = jnp.where(score_pos > 0, WINDOW_SIZE + 1 - (score_pos & 0xFFFF), 0)
+        best_len = chain_extend(blen, bdist, limit, N)
+        good = best_len >= 3
+        return jnp.where(good, best_len, 0), jnp.where(good, bdist, 0)
 
-    init = spos * 0 + 4 * probe_words
-    _, _, best = jax.lax.fori_loop(1, K + 1, step, (init, init, spos * 0))
-    best = jnp.where(svalid, best, 0)
+    best = sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks, probe_words)
 
     # ------------------------------------------------ unsort + chain extend
     # Un-permute via a second sort keyed by position (see find_matches_hash).

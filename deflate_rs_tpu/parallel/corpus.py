@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
+import time
 
 import numpy as np
 
@@ -141,39 +143,60 @@ def compress_corpus(
     pieces = []
     nbytes_all = []
     asm = BitAssembler(n + n // 128 + 4096) if packed else None
-    # Two-stage drain pipeline, shaped by the host link (scripts/
-    # link_probe.py: ~34 ms RTT, ~12 MB/s fetch): stage 1 waits on the tiny
-    # meta array and hands the ragged words fetch to a background thread
-    # (plain blocking device_get there — the tunnel platform deadlocks on
-    # copy_to_host_async); stage 2, one batch later, joins the thread.
-    # Device compute of batches i+1.. proceeds under both waits, and the
-    # words D2H transfer overlaps the main thread's splicing.
+    # Fetch pipeline, shaped by the host link (scripts/link_probe.py: ~33 ms
+    # RTT, ~20 MB/s fetch): the synchronizing meta wait AND the ragged words
+    # fetch both run on worker threads (plain blocking device_get there —
+    # the tunnel platform deadlocks on copy_to_host_async), so the main
+    # thread only dispatches device work and splices finished batches, in
+    # FIFO order.  Device execution is FIFO and JAX dispatch is async, so
+    # batches i+1..i+queue_depth compute under the fetches of batch i.
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=1)
-    compute_q = collections.deque()  # dispatched; meta copy in flight
-    fetch_q = collections.deque()  # words copy in flight
+    pool = ThreadPoolExecutor(max_workers=2)
+    fetch_q = collections.deque()  # (group, ns, lasts, future) in flight
 
-    def start_fetch():
-        group, ns_h, lasts_h, meta_d, words_d = compute_q.popleft()
+    trace = os.environ.get("DEFLATE_TPU_TRACE_CORPUS") == "1"
+    tstats = {"meta_s": 0.0, "words_s": 0.0, "words_mb": 0.0, "join_s": 0.0, "splice_s": 0.0}
+
+    def fetch_batch(meta_d, words_d):
+        t0 = time.perf_counter() if trace else 0.0
         meta = np.asarray(meta_d)  # (3, B) — the synchronizing fetch
+        if trace:
+            tstats["meta_s"] += time.perf_counter() - t0
         # Fetch only the used word prefix: the device buffer is sized for
         # the worst legal output, but typically <50% is populated, and the
         # host link is the e2e bottleneck.  One ragged-max slice keeps it a
         # single transfer.
-        need = max(1, (int(meta[0].max()) + 31) // 32)
-        # Quantize to halving buckets of the full width: each distinct slice
-        # shape compiles a (tiny) device program, and remote compiles are
-        # not free — log2 buckets bound that while keeping the saving.
-        maxw = words_d.shape[1]
-        while maxw // 2 >= need:
-            maxw //= 2
-        fut = pool.submit(np.asarray, words_d[:, :maxw])
-        fetch_q.append((group, ns_h, lasts_h, meta, fut))
+        # The slice itself is a device program that queues behind any
+        # already-dispatched encode batches (device FIFO), so slicing trades
+        # transfer bytes for queue latency; skippable for measurement.
+        if os.environ.get("DEFLATE_TPU_FETCH_SLICE", "1") == "0":
+            src = words_d
+        else:
+            need = max(1, (int(meta[0].max()) + 31) // 32)
+            # Quantize to halving buckets of the full width: each distinct
+            # slice shape compiles a (tiny) device program, and remote
+            # compiles are not free — log2 buckets bound that while keeping
+            # the saving.
+            maxw = words_d.shape[1]
+            while maxw // 2 >= need:
+                maxw //= 2
+            src = words_d[:, :maxw]
+        t0 = time.perf_counter() if trace else 0.0
+        words = np.asarray(src)
+        if trace:
+            tstats["words_s"] += time.perf_counter() - t0
+            tstats["words_mb"] += words.nbytes / 1e6
+        return meta, words
 
     def drain_one():
-        group, ns_h, lasts_h, meta, fut = fetch_q.popleft()
-        words = fut.result().view(np.uint8).reshape(len(ns_h), -1)
+        group, ns_h, lasts_h, fut = fetch_q.popleft()
+        t0 = time.perf_counter() if trace else 0.0
+        meta, words = fut.result()
+        if trace:
+            tstats["join_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+        words = words.view(np.uint8).reshape(len(ns_h), -1)
         for i, off in enumerate(group):
             if packed:
                 splice_encoded_chunk(
@@ -184,6 +207,8 @@ def compress_corpus(
                 nbytes_all.append((int(meta[0, i]) + 7) // 8)
         if not packed:
             pieces.append(words[: len(group)])
+        if trace:
+            tstats["splice_s"] += time.perf_counter() - t0
 
     prev_tail = np.zeros(HALO, np.uint8) if flat_mode else None
     for base in range(0, len(offsets), batch_size):
@@ -219,20 +244,27 @@ def compress_corpus(
                 if ln:
                     bufs[i, HALO : HALO + ln] = arr[off : off + ln]
             meta_d, words_d = encoder(bufs, hist, ns, lasts)
-        compute_q.append(
-            (group, [int(x) for x in ns], [bool(x) for x in lasts], meta_d, words_d)
+        fetch_q.append(
+            (
+                group,
+                [int(x) for x in ns],
+                [bool(x) for x in lasts],
+                pool.submit(fetch_batch, meta_d, words_d),
+            )
         )
-        if len(compute_q) > queue_depth:
-            start_fetch()
-        if len(fetch_q) > 1:
-            drain_one()
-    while compute_q:
-        start_fetch()
-        if len(fetch_q) > 1:
+        if len(fetch_q) > queue_depth:
             drain_one()
     while fetch_q:
         drain_one()
     pool.shutdown()
+    if trace:
+        import sys
+
+        print(
+            "corpus trace: "
+            + " ".join(f"{k}={v:.3f}" for k, v in tstats.items()),
+            file=sys.stderr,
+        )
 
     if packed:
         stream = asm.take_aligned()
