@@ -105,15 +105,20 @@ def main():
             from deflate_rs_tpu.ops import chunk_encode as ce
             from deflate_rs_tpu.utils.profiling import sync_time
 
+            import jax
+
             opts = CompressionOptions.default()
             raw = np.frombuffer(data[: batch * chunk + ce.HALO + ce.PAD], np.uint8)
-            bufs = np.stack(
-                [raw[i * chunk : i * chunk + ce.HALO + chunk + ce.PAD] for i in range(batch)]
+            # Device-resident inputs: numpy operands would re-upload per
+            # timed call through the tunnel and swamp the measurement.
+            bufs = jax.device_put(
+                np.stack(
+                    [raw[i * chunk : i * chunk + ce.HALO + chunk + ce.PAD] for i in range(batch)]
+                )
             )
-            hist = np.full(batch, ce.HALO, np.int32)
-            ns = np.full(batch, chunk, np.int32)
-            lasts = np.zeros(batch, bool)
-            import jax
+            hist = jax.device_put(np.full(batch, ce.HALO, np.int32))
+            ns = jax.device_put(np.full(batch, chunk, np.int32))
+            lasts = jax.device_put(np.zeros(batch, bool))
 
             enc = jax.vmap(
                 functools.partial(

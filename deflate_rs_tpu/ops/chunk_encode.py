@@ -212,9 +212,19 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     l_freq_r = l_freq_r.at[:, C.END_OF_BLOCK].add(1)
 
     # -------------------------- dynamic Huffman code tables, one per range
+    # One batched package-merge for BOTH alphabets: the dist histograms ride
+    # padded to the litlen width (zero-frequency symbols are inert in
+    # package-merge), halving the 15-level small-op chain — which is
+    # dispatch-bound, not FLOP-bound, on this device.
     pm15 = functools.partial(package_merge_lengths, max_len=C.MAX_CODE_LENGTH)
-    l_len_r286 = jax.vmap(pm15)(l_freq_r)  # [R, 286]
-    d_len_r = jax.vmap(pm15)(d_freq_r)  # [R, 30]
+    R_ = len(RANGES)
+    d_freq_pad = jnp.concatenate(
+        [d_freq_r, jnp.zeros((R_, C.NUM_USED_LITLEN - C.NUM_DIST_SYMBOLS), jnp.int32)],
+        axis=1,
+    )
+    ld_len = jax.vmap(pm15)(jnp.concatenate([l_freq_r, d_freq_pad], axis=0))
+    l_len_r286 = ld_len[:R_]  # [R, 286]
+    d_len_r = ld_len[R_:, : C.NUM_DIST_SYMBOLS]  # [R, 30]
 
     sym_l = jnp.arange(C.NUM_USED_LITLEN)
     hlit_r = jnp.clip(
@@ -333,8 +343,17 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         jnp.concatenate([l_len_r286, jnp.zeros((len(RANGES), 2), jnp.int32)], axis=1),
     )
     d_len_sel_r = jnp.where(r_is_fix[:, None], fixed_d_len[None, :], d_len_r)
-    l_code_sel_r = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CODE_LENGTH))(l_len_sel_r)
-    d_code_sel_r = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CODE_LENGTH))(d_len_sel_r)
+    # Batched canonical-code construction for both alphabets (zero-length
+    # padding symbols receive no codes, so the dist rows ride padded).
+    d_len_sel_pad = jnp.concatenate(
+        [d_len_sel_r, jnp.zeros((len(RANGES), C.NUM_LITLEN_SYMBOLS - C.NUM_DIST_SYMBOLS), jnp.int32)],
+        axis=1,
+    )
+    ld_codes = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CODE_LENGTH))(
+        jnp.concatenate([l_len_sel_r, d_len_sel_pad], axis=0)
+    )
+    l_code_sel_r = ld_codes[: len(RANGES)]
+    d_code_sel_r = ld_codes[len(RANGES) :, : C.NUM_DIST_SYMBOLS]
     l_pack_r = (l_code_sel_r | (l_len_sel_r.astype(jnp.uint32) << 16)).astype(jnp.int32)
     d_pack_r = (d_code_sel_r | (d_len_sel_r.astype(jnp.uint32) << 16)).astype(jnp.int32)
 

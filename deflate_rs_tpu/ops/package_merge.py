@@ -46,26 +46,24 @@ def package_merge_lengths(freqs, max_len: int):
     leaf_vals = jnp.where(active[perm], freqs[perm], _BIG)
 
     S = 2 * A
-    pad = jnp.full(A, _BIG, dtype=jnp.int32)
 
-    def merge(pair_vals):
-        """Merge leaves with package values; returns (vals, is_leaf) sorted."""
-        vals = jnp.concatenate([leaf_vals, pair_vals])
-        is_leaf = jnp.concatenate([jnp.ones(A, jnp.bool_), jnp.zeros(A, jnp.bool_)])
-        # Ties: leaves before packages (key LSB), for the prefix property.
-        key = vals * 2 + (~is_leaf).astype(jnp.int32)
-        order = jnp.argsort(key)
-        return vals[order], is_leaf[order]
+    # Each level's merged list is kept as ONE packed array: value*2 | kind,
+    # kind bit 0 = leaf, 1 = package.  Value order with leaves-before-
+    # packages tie-break is then plain integer order, so every level is a
+    # single-operand sort (the per-level cost is dispatch-bound; payload-free
+    # sorts are the cheapest form).  Values stay < 2*_BIG < 2^30, safe in
+    # int32.
+    leaf_packed = leaf_vals * 2
+    pad_packed = jnp.full(A, _BIG * 2 + 1, dtype=jnp.int32)
 
     # Build levels from deepest (leaves only) to level 1 (fully merged).
     levels_cum_leaves = []  # deepest first
-    vals = jnp.concatenate([leaf_vals, pad])
-    is_leaf = jnp.concatenate([jnp.ones(A, jnp.bool_), jnp.zeros(A, jnp.bool_)])
-    levels_cum_leaves.append(jnp.cumsum(is_leaf.astype(jnp.int32)))
+    packed = jnp.concatenate([leaf_packed, pad_packed])
+    levels_cum_leaves.append(jnp.cumsum(1 - (packed & 1)))
     for _ in range(max_len - 1):
-        pairs = jnp.minimum(vals[0::2] + vals[1::2], _BIG)
-        vals, is_leaf = merge(pairs)
-        levels_cum_leaves.append(jnp.cumsum(is_leaf.astype(jnp.int32)))
+        pair_vals = jnp.minimum((packed[0::2] >> 1) + (packed[1::2] >> 1), _BIG)
+        packed = jnp.sort(jnp.concatenate([leaf_packed, pair_vals * 2 + 1]))
+        levels_cum_leaves.append(jnp.cumsum(1 - (packed & 1)))
 
     # Select the first 2m-2 entries of level 1, propagating package counts
     # down: each selected package at level t selects its two halves at t+1.
