@@ -176,6 +176,17 @@ class CompressionOptions:
     def lazy(self) -> bool:
         return self.matching_type == MatchingType.Lazy and self.lazy_if_less_than > 0
 
+    @property
+    def exact_split_scoring(self) -> bool:
+        """Score block-split compositions with exact package-merge token
+        costs (ops/chunk_encode.py).  The high preset gets it because its
+        contract is squeezing the last ~0.1% of ratio; huffman_only/rle get
+        it because their all-literal histograms make the entropy proxy
+        noticeably lossier (60 B on pg11) and they are not throughput
+        presets.  fast/default use the proxy, which costs ~0.25 ms/chunk
+        less on TPU for a few-bytes-per-chunk size difference."""
+        return self.matcher_algo == "hash" or self.matcher_mode != "hash"
+
     def cache_key(self) -> tuple:
         return (
             self.matcher_mode,

@@ -16,8 +16,14 @@ gathers/scatters are scalar-bound, ~10 ns/element — docs/perf_notes.md):
    contributions (they are bitwise-disjoint; mod-2^32 wraparound cancels in
    the difference).  The straddling carry into word w+1 is the boundary
    field of word w's high part, riding the same compaction.
-4. boundary fields are compacted into word order with one stable sort
-   (boundaries are already in word order, so the sort is a partition).
+4. the straddling carry of word w's boundary field into word w+1 is folded
+   into the running sum as an EXCLUSIVE cumsum of boundary carries, so the
+   boundary differences recover (word contribution | carry-in) directly —
+   carry bits sit below the first in-word field's phase, so ADD == OR;
+5. boundary fields are compacted into word order with one stable sort
+   (boundaries are already in word order, so the sort is a partition); a
+   trailing zero-width sentinel field guarantees the final partial word has
+   a boundary even when no real field starts in it.
 
 DEFLATE's LSB-first bit order is exactly little-endian uint32 word order, so
 the word buffer reinterpreted as bytes IS the bitstream.
@@ -43,6 +49,15 @@ def pack_fields(values, nbits, num_words: int):
     """
     F = values.shape[0]
     assert F >= num_words, (F, num_words)
+    # Trailing zero-width sentinel: its offset is total_bits, so it lands in
+    # (and becomes the boundary of) the final partial word even when no real
+    # field starts there — e.g. a 16-bit tail field straddling into the last
+    # word.  Without it that word's straddle carry would be dropped (the
+    # carry is recovered at the NEXT boundary's difference, which must
+    # therefore exist).  Also guarantees the word beyond a 32-aligned end is
+    # masked junk rather than read.
+    values = jnp.concatenate([values, jnp.zeros(1, values.dtype)])
+    nbits = jnp.concatenate([nbits, jnp.zeros(1, nbits.dtype)])
     nbits = nbits.astype(jnp.uint32)
     # Mask values to their declared width (up to 32 bits per field) so word
     # contributions stay bitwise-disjoint.  2 << (nbits-1) == 2**nbits
@@ -67,15 +82,20 @@ def pack_fields(values, nbits, num_words: int):
     nxt_word = jnp.concatenate([word[1:], jnp.full(1, -1, jnp.int32)])
     boundary = word != nxt_word
 
-    ps = jnp.cumsum(lo, dtype=jnp.uint32)  # mod 2^32; wrap cancels below
+    # Fold the straddle carry into the prefix sum: with s = EXCLUSIVE cumsum
+    # of boundary his, (ps+s) differenced at consecutive boundaries yields
+    # word_diff + hi[prev_boundary] — and the carry bits are disjoint from
+    # the word's own contributions (the carry fills bits below the first
+    # in-word field's phase), so ADD == OR.  One sort payload instead of two.
+    hi_b = jnp.where(boundary, hi, 0)
+    s = jnp.cumsum(hi_b, dtype=jnp.uint32) - hi_b
+    ps = jnp.cumsum(lo, dtype=jnp.uint32) + s  # mod 2^32; wrap cancels below
     srt = jax.lax.sort(
-        [(~boundary).astype(jnp.int32), ps, hi], num_keys=1, is_stable=True
+        [(~boundary).astype(jnp.int32), ps], num_keys=1, is_stable=True
     )
     t = srt[1][:num_words]
-    h = srt[2][:num_words]
     t_prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), t[:-1]])
-    h_prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), h[:-1]])
-    out = (t - t_prev) | h_prev
+    out = t - t_prev
 
     # Beyond the last real word the compaction holds non-boundary junk.
     widx = jnp.arange(num_words, dtype=jnp.uint32)

@@ -104,12 +104,22 @@ _HDR_START = np.array(
 _BLK_END = np.array(
     [[int(any(r[1] == q + 1 for r in c)) for c in COMPS] for q in range(NQ)], np.int32
 )
-_RID_Q = np.array(
-    [[RANGE_ID[next(r for r in c if r[0] <= q < r[1])] for c in COMPS] for q in range(NQ)],
-    np.int32,
-)
 _LAST_START = np.array([max(r[0] for r in c) for c in COMPS], np.int32)
-_WHOLE_RID = RANGE_ID[(0, NQ)]
+# Block-slot machinery: composition c's t-th block is its t-th range; the
+# exact tables below are built only for these <= NQ slots.
+_SLOTQ = np.array(
+    [[next(t for t, r in enumerate(c) if r[0] <= q < r[1]) for c in COMPS] for q in range(NQ)],
+    np.int32,
+)  # [q][comp] -> slot index owning quarter q
+_MEM = np.array(
+    [[[1 if (t < len(c) and c[t][0] <= q < c[t][1]) else 0 for c in COMPS] for q in range(NQ)]
+     for t in range(NQ)],
+    np.int32,
+)  # [t][q][comp] -> quarter q in slot t
+_EXIST = np.array([[1 if t < len(c) else 0 for c in COMPS] for t in range(NQ)], np.int32)
+_RID_T = np.array(
+    [[RANGE_ID[c[t]] if t < len(c) else 0 for c in COMPS] for t in range(NQ)], np.int32
+)  # [t][comp] -> range id of the t-th block (exact-scoring table reuse)
 
 
 def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: CompressionOptions,
@@ -211,56 +221,18 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     d_freq_r = jnp.stack([df_cum[j] - df_cum[i] for (i, j) in RANGES])  # [R, 30]
     l_freq_r = l_freq_r.at[:, C.END_OF_BLOCK].add(1)
 
-    # -------------------------- dynamic Huffman code tables, one per range
-    # One batched package-merge for BOTH alphabets: the dist histograms ride
-    # padded to the litlen width (zero-frequency symbols are inert in
-    # package-merge), halving the 15-level small-op chain — which is
-    # dispatch-bound, not FLOP-bound, on this device.
-    pm15 = functools.partial(package_merge_lengths, max_len=C.MAX_CODE_LENGTH)
-    R_ = len(RANGES)
-    d_freq_pad = jnp.concatenate(
-        [d_freq_r, jnp.zeros((R_, C.NUM_USED_LITLEN - C.NUM_DIST_SYMBOLS), jnp.int32)],
-        axis=1,
-    )
-    ld_len = jax.vmap(pm15)(jnp.concatenate([l_freq_r, d_freq_pad], axis=0))
-    l_len_r286 = ld_len[:R_]  # [R, 286]
-    d_len_r = ld_len[R_:, : C.NUM_DIST_SYMBOLS]  # [R, 30]
-
-    sym_l = jnp.arange(C.NUM_USED_LITLEN)
-    hlit_r = jnp.clip(
-        jnp.max(jnp.where(l_len_r286 > 0, sym_l[None, :], -1), axis=1) + 1,
-        C.MIN_NUM_LITLEN_CODES, C.NUM_USED_LITLEN,
-    )
-    sym_d = jnp.arange(C.NUM_DIST_SYMBOLS)
-    hdist_r = jnp.clip(
-        jnp.max(jnp.where(d_len_r > 0, sym_d[None, :], -1), axis=1) + 1,
-        C.MIN_NUM_DIST_CODES, C.NUM_DIST_SYMBOLS,
-    )
-
-    # Concatenated litlen+dist lengths, RLE encoded for each range's header.
-    j = jnp.arange(CL_CAP, dtype=jnp.int32)
-    cl_r = jnp.where(
-        j[None, :] < hlit_r[:, None],
-        jnp.take_along_axis(
-            l_len_r286, jnp.broadcast_to(jnp.clip(j, 0, C.NUM_USED_LITLEN - 1), (len(RANGES), CL_CAP)), axis=1
-        ),
-        jnp.take_along_axis(
-            d_len_r, jnp.clip(j[None, :] - hlit_r[:, None], 0, C.NUM_DIST_SYMBOLS - 1), axis=1
-        ),
-    )
-    rle_r = jax.vmap(encode_code_lengths)(cl_r, hlit_r + hdist_r)
-    clen_len_r = jax.vmap(functools.partial(package_merge_lengths, max_len=C.MAX_CLEN_CODE_LENGTH))(
-        rle_r["freq"]
-    )  # [R, 19]
-    clen_codes_r = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CLEN_CODE_LENGTH))(
-        clen_len_r
-    )
-    clen_in_order_r = clen_len_r[:, C.CLEN_ORDER]  # host-const column gather
-    hclen_r = jnp.clip(
-        jnp.max(jnp.where(clen_in_order_r > 0, jnp.arange(19)[None, :], -1), axis=1) + 1, 4, 19
-    )
-
-    # ----------------------------------------------------- exact bit costs
+    # ------------------- composition scoring (entropy proxy, exact fixed)
+    # The round-1 encoder ran exact package-merge + header RLE for ALL 10
+    # contiguous quarter ranges just to score the 8 compositions — the
+    # 15-level package-merge chain was the single largest device cost.
+    # Compositions are now scored with a Shannon-entropy proxy for the
+    # dynamic cost (optimal length-limited codes track ceil(-log2 p) very
+    # closely) plus the EXACT fixed cost; exact tables and bit costs are
+    # then built only for the chosen composition's <= NQ blocks, so the
+    # emitted size and every downstream decision (fixed/dynamic/stored)
+    # remain exact.  Only the split choice itself is heuristic, and any
+    # choice yields a valid stream (same argument as huffman_lengths.rs
+    # block-type choice being a pure size optimization).
     l_extra_tbl = jnp.concatenate(
         [jnp.zeros(257, jnp.int32), _const(C.LENGTH_EXTRA_BITS)]
     )
@@ -268,19 +240,194 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     fixed_l_len286 = _const(C.FIXED_LITLEN_LENGTHS[: C.NUM_USED_LITLEN])
     fixed_d_len = _const(C.FIXED_DIST_LENGTHS)
 
-    dyn_tok_bits_r = jnp.sum(l_freq_r * (l_len_r286 + l_extra_tbl[None, :]), axis=1) + jnp.sum(
-        d_freq_r * (d_len_r + d_extra_tbl[None, :]), axis=1
+    def _proxy_bits(freq_r):
+        """(entropy token bits, used symbols, zero-run starts) per range."""
+        tot = jnp.sum(freq_r, axis=1, keepdims=True).astype(jnp.float32)
+        f = freq_r.astype(jnp.float32)
+        lens = jnp.clip(
+            jnp.ceil(jnp.log2(jnp.maximum(tot, 1.0)) - jnp.log2(jnp.maximum(f, 1.0))),
+            1.0, float(C.MAX_CODE_LENGTH),
+        )
+        bits = jnp.sum(jnp.where(freq_r > 0, f * lens, 0.0), axis=1)
+        used = freq_r > 0
+        u = jnp.sum(used, axis=1)
+        prev = jnp.concatenate([jnp.zeros((freq_r.shape[0], 1), bool), used[:, :-1]], axis=1)
+        z = jnp.sum(prev & ~used, axis=1)
+        return bits.astype(jnp.int32), u.astype(jnp.int32), z.astype(jnp.int32)
+
+    lbits_p, lu, lz = _proxy_bits(l_freq_r)
+    dbits_p, du, dz = _proxy_bits(d_freq_r)
+    extra_bits_r = jnp.sum(l_freq_r * l_extra_tbl[None, :], axis=1) + jnp.sum(
+        d_freq_r * d_extra_tbl[None, :], axis=1
     )
     fix_tok_bits_r = jnp.sum(l_freq_r * (fixed_l_len286 + l_extra_tbl)[None, :], axis=1) + jnp.sum(
         d_freq_r * (fixed_d_len + d_extra_tbl)[None, :], axis=1
     )
-    rle_used_r = jnp.arange(CL_CAP)[None, :] < rle_r["n"][:, None]
-    rle_sym_clen_r = jnp.take_along_axis(clen_len_r, rle_r["sym"], axis=1)
-    dyn_hdr_bits_r = (
+    # Header proxy: HLIT/HDIST/HCLEN + ~19 clen slots + ~4 bits per used
+    # symbol + ~8 bits per zero run in the length array.
+    proxy_hdr_r = 14 + 57 + 4 * (lu + du) + 8 * (lz + dz)
+    pm15 = functools.partial(package_merge_lengths, max_len=C.MAX_CODE_LENGTH)
+    R_ = len(RANGES)
+    if options.exact_split_scoring:
+        # High preset: exact optimal token bits for every range (the full
+        # 15-level package-merge over all 2R rows); the chosen blocks then
+        # reuse these per-range tables instead of re-running package-merge.
+        d_freq_pad_r = jnp.concatenate(
+            [d_freq_r, jnp.zeros((R_, C.NUM_USED_LITLEN - C.NUM_DIST_SYMBOLS), jnp.int32)],
+            axis=1,
+        )
+        ld_len_r = jax.vmap(pm15)(jnp.concatenate([l_freq_r, d_freq_pad_r], axis=0))
+        l_len_r286 = ld_len_r[:R_]
+        d_len_r = ld_len_r[R_:, : C.NUM_DIST_SYMBOLS]
+        dyn_tok_bits_r = jnp.sum(
+            l_freq_r * (l_len_r286 + l_extra_tbl[None, :]), axis=1
+        ) + jnp.sum(d_freq_r * (d_len_r + d_extra_tbl[None, :]), axis=1)
+        # Exact header bits as well (RLE + clen codes per range): the whole
+        # point of this preset is exact scoring, and it is cheap next to the
+        # 2R-row package-merge above.
+        hlit_x = jnp.clip(
+            jnp.max(jnp.where(l_len_r286 > 0, jnp.arange(C.NUM_USED_LITLEN)[None, :], -1), axis=1)
+            + 1,
+            C.MIN_NUM_LITLEN_CODES, C.NUM_USED_LITLEN,
+        )
+        hdist_x = jnp.clip(
+            jnp.max(jnp.where(d_len_r > 0, jnp.arange(C.NUM_DIST_SYMBOLS)[None, :], -1), axis=1)
+            + 1,
+            C.MIN_NUM_DIST_CODES, C.NUM_DIST_SYMBOLS,
+        )
+        jx = jnp.arange(CL_CAP, dtype=jnp.int32)
+        cl_x = jnp.where(
+            jx[None, :] < hlit_x[:, None],
+            jnp.take_along_axis(
+                l_len_r286,
+                jnp.broadcast_to(jnp.clip(jx, 0, C.NUM_USED_LITLEN - 1), (R_, CL_CAP)),
+                axis=1,
+            ),
+            jnp.take_along_axis(
+                d_len_r, jnp.clip(jx[None, :] - hlit_x[:, None], 0, C.NUM_DIST_SYMBOLS - 1), axis=1
+            ),
+        )
+        rle_x = jax.vmap(encode_code_lengths)(cl_x, hlit_x + hdist_x)
+        clen_len_x = jax.vmap(
+            functools.partial(package_merge_lengths, max_len=C.MAX_CLEN_CODE_LENGTH)
+        )(rle_x["freq"])
+        hclen_x = jnp.clip(
+            jnp.max(
+                jnp.where(clen_len_x[:, C.CLEN_ORDER] > 0, jnp.arange(19)[None, :], -1), axis=1
+            )
+            + 1,
+            4, 19,
+        )
+        rle_used_x = jnp.arange(CL_CAP)[None, :] < rle_x["n"][:, None]
+        hdr_bits_x = (
+            14
+            + 3 * hclen_x
+            + jnp.sum(
+                jnp.where(rle_used_x, jnp.take_along_axis(clen_len_x, rle_x["sym"], axis=1), 0),
+                axis=1,
+            )
+            + jnp.sum(rle_x["extra_bits"], axis=1)
+        )
+        dyn_score_r = 3 + hdr_bits_x + dyn_tok_bits_r
+    else:
+        dyn_score_r = 3 + proxy_hdr_r + lbits_p + dbits_p + extra_bits_r
+    fix_total_r = 3 + fix_tok_bits_r
+    range_score = jnp.minimum(dyn_score_r, fix_total_r)
+
+    force_fix = n <= 4
+    if options.special == SpecialOptions.ForceFixed:
+        force_fix = True
+
+    # Composition search: cheapest grouping of quarters into blocks.  COMPS
+    # is sorted by block count, and argmin takes the first minimum, so equal
+    # score prefers fewer blocks (degenerating to one whole-chunk block).
+    comp_cost = jnp.stack([
+        sum(range_score[RANGE_ID[r]] for r in comp) for comp in COMPS
+    ])
+    comp_cost = jnp.where(
+        force_fix, jnp.where(jnp.arange(len(COMPS)) == 0, comp_cost, jnp.int32(1 << 30)), comp_cost
+    )
+    best_comp = jnp.argmin(comp_cost).astype(jnp.int32)
+    comp_onehot = (jnp.arange(len(COMPS)) == best_comp).astype(jnp.int32)
+    is_split = best_comp != 0
+
+    # ------------- exact Huffman tables for the chosen blocks (<= NQ slots)
+    exist = jnp.tensordot(_const(_EXIST), comp_onehot, axes=[[1], [0]])  # [t]
+    NS = NQ
+    if options.exact_split_scoring:
+        # Slot tables/freqs are row-selections of the per-range results
+        # already computed for scoring (nonexistent slots select range 0 —
+        # inert, every use is gated by ``exist`` or the quarter selectors).
+        rid_t = jnp.tensordot(_const(_RID_T), comp_onehot, axes=[[1], [0]])
+        l_freq_s = l_freq_r[rid_t]
+        d_freq_s = d_freq_r[rid_t]
+        l_len_s286 = l_len_r286[rid_t]
+        d_len_s = d_len_r[rid_t]
+    else:
+        mem = jnp.tensordot(_const(_MEM), comp_onehot, axes=[[2], [0]])  # [t, q]
+        l_freq_s = jnp.einsum("tq,qa->ta", mem, lf_q).at[:, C.END_OF_BLOCK].add(exist)
+        d_freq_s = jnp.einsum("tq,qa->ta", mem, df_q)
+
+        # One batched package-merge for BOTH alphabets: the dist histograms
+        # ride padded to the litlen width (zero-frequency symbols are inert
+        # in package-merge), halving the 15-level small-op chain — which is
+        # dispatch-bound, not FLOP-bound, on this device.
+        d_freq_pad = jnp.concatenate(
+            [d_freq_s, jnp.zeros((NS, C.NUM_USED_LITLEN - C.NUM_DIST_SYMBOLS), jnp.int32)],
+            axis=1,
+        )
+        ld_len = jax.vmap(pm15)(jnp.concatenate([l_freq_s, d_freq_pad], axis=0))
+        l_len_s286 = ld_len[:NS]  # [NS, 286]
+        d_len_s = ld_len[NS:, : C.NUM_DIST_SYMBOLS]  # [NS, 30]
+
+    sym_l = jnp.arange(C.NUM_USED_LITLEN)
+    hlit_s = jnp.clip(
+        jnp.max(jnp.where(l_len_s286 > 0, sym_l[None, :], -1), axis=1) + 1,
+        C.MIN_NUM_LITLEN_CODES, C.NUM_USED_LITLEN,
+    )
+    sym_d = jnp.arange(C.NUM_DIST_SYMBOLS)
+    hdist_s = jnp.clip(
+        jnp.max(jnp.where(d_len_s > 0, sym_d[None, :], -1), axis=1) + 1,
+        C.MIN_NUM_DIST_CODES, C.NUM_DIST_SYMBOLS,
+    )
+
+    # Concatenated litlen+dist lengths, RLE encoded for each slot's header.
+    j = jnp.arange(CL_CAP, dtype=jnp.int32)
+    cl_s = jnp.where(
+        j[None, :] < hlit_s[:, None],
+        jnp.take_along_axis(
+            l_len_s286, jnp.broadcast_to(jnp.clip(j, 0, C.NUM_USED_LITLEN - 1), (NS, CL_CAP)), axis=1
+        ),
+        jnp.take_along_axis(
+            d_len_s, jnp.clip(j[None, :] - hlit_s[:, None], 0, C.NUM_DIST_SYMBOLS - 1), axis=1
+        ),
+    )
+    rle_s = jax.vmap(encode_code_lengths)(cl_s, hlit_s + hdist_s)
+    clen_len_s = jax.vmap(functools.partial(package_merge_lengths, max_len=C.MAX_CLEN_CODE_LENGTH))(
+        rle_s["freq"]
+    )  # [NS, 19]
+    clen_codes_s = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CLEN_CODE_LENGTH))(
+        clen_len_s
+    )
+    clen_in_order_s = clen_len_s[:, C.CLEN_ORDER]  # host-const column gather
+    hclen_s = jnp.clip(
+        jnp.max(jnp.where(clen_in_order_s > 0, jnp.arange(19)[None, :], -1), axis=1) + 1, 4, 19
+    )
+
+    # ------------------------------------- exact bit costs, chosen blocks
+    dyn_tok_bits_s = jnp.sum(l_freq_s * (l_len_s286 + l_extra_tbl[None, :]), axis=1) + jnp.sum(
+        d_freq_s * (d_len_s + d_extra_tbl[None, :]), axis=1
+    )
+    fix_tok_bits_s = jnp.sum(l_freq_s * (fixed_l_len286 + l_extra_tbl)[None, :], axis=1) + jnp.sum(
+        d_freq_s * (fixed_d_len + d_extra_tbl)[None, :], axis=1
+    )
+    rle_used_s = jnp.arange(CL_CAP)[None, :] < rle_s["n"][:, None]
+    rle_sym_clen_s = jnp.take_along_axis(clen_len_s, rle_s["sym"], axis=1)
+    dyn_hdr_bits_s = (
         14
-        + 3 * hclen_r
-        + jnp.sum(jnp.where(rle_used_r, rle_sym_clen_r, 0), axis=1)
-        + jnp.sum(rle_r["extra_bits"], axis=1)
+        + 3 * hclen_s
+        + jnp.sum(jnp.where(rle_used_s, rle_sym_clen_s, 0), axis=1)
+        + jnp.sum(rle_s["extra_bits"], axis=1)
     )
 
     n_sub_static = max(1, (E + C.MAX_STORED_BLOCK - 1) // C.MAX_STORED_BLOCK)
@@ -289,31 +436,15 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     n_sub = jnp.sum(sub_present.astype(jnp.int32))
     stored_bits = 40 * n_sub + 8 * n
 
-    dyn_total_r = 3 + dyn_hdr_bits_r + dyn_tok_bits_r
-    fix_total_r = 3 + fix_tok_bits_r
-    # Per-range block type: fixed beats dynamic on ties (the reference's
-    # order, gen_huffman_lengths huffman_lengths.rs:271-286); tiny payloads
-    # and ForceFixed pin fixed tables everywhere.
-    force_fix = n <= 4
-    if options.special == SpecialOptions.ForceFixed:
-        force_fix = True
-    r_is_fix = (fix_total_r <= dyn_total_r) | force_fix
-    range_cost = jnp.where(r_is_fix, fix_total_r, dyn_total_r)
-
-    # Composition search: cheapest grouping of quarters into blocks.  COMPS
-    # is sorted by block count, and argmin takes the first minimum, so equal
-    # cost prefers fewer blocks (degenerating to one whole-chunk block).
-    comp_cost = jnp.stack([
-        sum(range_cost[RANGE_ID[r]] for r in comp) for comp in COMPS
-    ])
-    comp_cost = jnp.where(
-        force_fix, jnp.where(jnp.arange(len(COMPS)) == 0, comp_cost, jnp.int32(1 << 30)), comp_cost
-    )
-    best_comp = jnp.argmin(comp_cost).astype(jnp.int32)
-    huff_total = comp_cost[best_comp]
-    comp_onehot = (jnp.arange(len(COMPS)) == best_comp).astype(jnp.int32)
-    is_split = best_comp != 0
-    whole_fix = r_is_fix[_WHOLE_RID]
+    dyn_total_s = 3 + dyn_hdr_bits_s + dyn_tok_bits_s
+    fix_total_s = 3 + fix_tok_bits_s
+    # Per-block type: fixed beats dynamic on ties (the reference's order,
+    # gen_huffman_lengths huffman_lengths.rs:271-286); tiny payloads and
+    # ForceFixed pin fixed tables everywhere.
+    s_is_fix = (fix_total_s <= dyn_total_s) | force_fix
+    slot_cost = jnp.where(s_is_fix, fix_total_s, dyn_total_s)
+    huff_total = jnp.sum(exist * slot_cost)
+    whole_fix = s_is_fix[0]  # composition 0's only slot is the whole chunk
 
     # Chunk-level choice vs stored, preserving the reference's tie order
     # (fixed beats stored beats dynamic).
@@ -336,38 +467,38 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     ).astype(jnp.int32)
 
     # --------------------------------------------------------- field arrays
-    # Selected per-range tables (dynamic padded to 288 symbols).
-    l_len_sel_r = jnp.where(
-        r_is_fix[:, None],
+    # Selected per-slot tables (dynamic padded to 288 symbols).
+    l_len_sel_s = jnp.where(
+        s_is_fix[:, None],
         _const(C.FIXED_LITLEN_LENGTHS)[None, :],
-        jnp.concatenate([l_len_r286, jnp.zeros((len(RANGES), 2), jnp.int32)], axis=1),
+        jnp.concatenate([l_len_s286, jnp.zeros((NS, 2), jnp.int32)], axis=1),
     )
-    d_len_sel_r = jnp.where(r_is_fix[:, None], fixed_d_len[None, :], d_len_r)
+    d_len_sel_s = jnp.where(s_is_fix[:, None], fixed_d_len[None, :], d_len_s)
     # Batched canonical-code construction for both alphabets (zero-length
     # padding symbols receive no codes, so the dist rows ride padded).
     d_len_sel_pad = jnp.concatenate(
-        [d_len_sel_r, jnp.zeros((len(RANGES), C.NUM_LITLEN_SYMBOLS - C.NUM_DIST_SYMBOLS), jnp.int32)],
+        [d_len_sel_s, jnp.zeros((NS, C.NUM_LITLEN_SYMBOLS - C.NUM_DIST_SYMBOLS), jnp.int32)],
         axis=1,
     )
     ld_codes = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CODE_LENGTH))(
-        jnp.concatenate([l_len_sel_r, d_len_sel_pad], axis=0)
+        jnp.concatenate([l_len_sel_s, d_len_sel_pad], axis=0)
     )
-    l_code_sel_r = ld_codes[: len(RANGES)]
-    d_code_sel_r = ld_codes[len(RANGES) :, : C.NUM_DIST_SYMBOLS]
-    l_pack_r = (l_code_sel_r | (l_len_sel_r.astype(jnp.uint32) << 16)).astype(jnp.int32)
-    d_pack_r = (d_code_sel_r | (d_len_sel_r.astype(jnp.uint32) << 16)).astype(jnp.int32)
+    l_code_sel_s = ld_codes[:NS]
+    d_code_sel_s = ld_codes[NS:, : C.NUM_DIST_SYMBOLS]
+    l_pack_s = (l_code_sel_s | (l_len_sel_s.astype(jnp.uint32) << 16)).astype(jnp.int32)
+    d_pack_s = (d_code_sel_s | (d_len_sel_s.astype(jnp.uint32) << 16)).astype(jnp.int32)
 
     # Per-quarter dynamic selectors from the chosen composition.
     hdr_on_q = [jnp.sum(comp_onehot * _const(_HDR_START[q])) == 1 for q in range(NQ)]
     eob_on_q = [jnp.sum(comp_onehot * _const(_BLK_END[q])) == 1 for q in range(NQ)]
-    rid_q = [jnp.sum(comp_onehot * _const(_RID_Q[q])) for q in range(NQ)]
+    sid_q = [jnp.sum(comp_onehot * _const(_SLOTQ[q])) for q in range(NQ)]
     q_last = jnp.sum(comp_onehot * _const(_LAST_START))
 
     bfinal = jnp.asarray(is_last).astype(jnp.int32)
     seg_v, seg_b = [], []
     for q in range(NQ):
-        r = rid_q[q]
-        part_fix = r_is_fix[r]
+        r = sid_q[q]
+        part_fix = s_is_fix[r]
         hdr_on = huff & hdr_on_q[q]
         dyn_on = hdr_on & ~part_fix
 
@@ -378,20 +509,20 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         hdr_b = jnp.where(hdr_on, 3, 0).astype(jnp.int32)[None]
 
         # Dynamic header: HLIT/HDIST/HCLEN + clen lengths + RLE symbols.
-        hlit = hlit_r[r]
+        hlit = hlit_s[r]
         dh_v = jnp.stack([
             (hlit - 257).astype(jnp.uint32),
-            (hdist_r[r] - 1).astype(jnp.uint32),
-            (hclen_r[r] - 4).astype(jnp.uint32),
+            (hdist_s[r] - 1).astype(jnp.uint32),
+            (hclen_s[r] - 4).astype(jnp.uint32),
         ])
         dh_b = jnp.where(dyn_on, _const(_DH_BITS), 0)
-        co_v = clen_in_order_r[r].astype(jnp.uint32)
-        co_b = jnp.where(dyn_on & (jnp.arange(19) < hclen_r[r]), 3, 0)
-        rle_sym = rle_r["sym"][r]
-        rle_code_v = clen_codes_r[r][rle_sym]
-        rle_code_b = jnp.where((jnp.arange(CL_CAP) < rle_r["n"][r]) & dyn_on, clen_len_r[r][rle_sym], 0)
-        rle_ex_v = rle_r["extra_vals"][r].astype(jnp.uint32)
-        rle_ex_b = jnp.where(dyn_on, rle_r["extra_bits"][r], 0)
+        co_v = clen_in_order_s[r].astype(jnp.uint32)
+        co_b = jnp.where(dyn_on & (jnp.arange(19) < hclen_s[r]), 3, 0)
+        rle_sym = rle_s["sym"][r]
+        rle_code_v = clen_codes_s[r][rle_sym]
+        rle_code_b = jnp.where((jnp.arange(CL_CAP) < rle_s["n"][r]) & dyn_on, clen_len_s[r][rle_sym], 0)
+        rle_ex_v = rle_s["extra_vals"][r].astype(jnp.uint32)
+        rle_ex_b = jnp.where(dyn_on, rle_s["extra_bits"][r], 0)
         rle_v = jnp.stack([rle_code_v, rle_ex_v], axis=1).reshape(-1)
         rle_b = jnp.stack([rle_code_b, rle_ex_b], axis=1).reshape(-1)
 
@@ -400,13 +531,13 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         # lookup per side — same total matmul work as the unsplit encoder).
         sl = slice(q * QL, (q + 1) * QL)
         tok_on = tvalid[sl] & huff
-        l_pack = table_lookup(l_pack_r[r], lsym[sl], C.NUM_LITLEN_SYMBOLS)
+        l_pack = table_lookup(l_pack_s[r], lsym[sl], C.NUM_LITLEN_SYMBOLS)
         lsym_code = (l_pack & 0xFFFF).astype(jnp.uint32)
         lsym_len = l_pack >> 16
         t1v = lsym_code | (len_extra_v[sl].astype(jnp.uint32) << lsym_len.astype(jnp.uint32))
         t1b = jnp.where(tok_on, lsym_len + len_extra_n[sl], 0)
         mt = tok_on & is_match[sl]
-        d_pack = table_lookup(d_pack_r[r], dcode[sl], C.NUM_DIST_SYMBOLS)
+        d_pack = table_lookup(d_pack_s[r], dcode[sl], C.NUM_DIST_SYMBOLS)
         d_code_v = (d_pack & 0xFFFF).astype(jnp.uint32)
         d_code_l = d_pack >> 16
         t2v = d_code_v | (dist_extra_v[sl].astype(jnp.uint32) << d_code_l.astype(jnp.uint32))
@@ -415,8 +546,8 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         tok_b = jnp.stack([t1b, t2b], axis=1).reshape(-1)
 
         # End of block (code of the block that closes after this quarter).
-        eob_v = l_code_sel_r[r, C.END_OF_BLOCK][None]
-        eob_b = jnp.where(huff & eob_on_q[q], l_len_sel_r[r, C.END_OF_BLOCK], 0)[None]
+        eob_v = l_code_sel_s[r, C.END_OF_BLOCK][None]
+        eob_b = jnp.where(huff & eob_on_q[q], l_len_sel_s[r, C.END_OF_BLOCK], 0)[None]
 
         seg_v += [hdr_v, dh_v, co_v, rle_v, tok_v, eob_v]
         seg_b += [hdr_b, dh_b, co_b, rle_b, tok_b, eob_b]

@@ -147,3 +147,44 @@ def test_crc32_combine_stream():
         total_len += len(c)
     expected = zlib.crc32(b"".join(c.tobytes() for c in chunks))
     assert ck.crc32_from_raw(raw_total, total_len) == expected
+
+
+def test_pack_fields_bigint_oracle():
+    """pack_fields vs an arbitrary-precision bit-concatenation oracle.
+
+    Regression coverage for the straddle-carry fold: includes streams whose
+    final field straddles into a word with no field start (the non-final
+    chunk sync-marker shape that corrupted the carry before the sentinel
+    field), plus zero-width fields sprinkled mid-stream.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deflate_rs_tpu.ops.bitpack import pack_fields
+
+    rng = np.random.default_rng(42)
+    F, NW = 96, 80
+    f = jax.jit(lambda v, n: pack_fields(v, n, NW))
+    for trial in range(40):
+        nb = rng.integers(0, 33, F).astype(np.int32)
+        if trial % 3 == 0:
+            nb[-1] = 0  # encoder-style trailing zero-width run
+        if trial % 4 == 1:
+            nb[-1] = 16  # tail field that can straddle into a start-free word
+        if trial % 5 == 0:
+            nb[rng.integers(0, F, 8)] = 0
+        while nb.sum() > (NW - 1) * 32:
+            nb[rng.integers(0, F)] = 0
+        vals = rng.integers(0, 1 << 32, F, dtype=np.uint64).astype(np.uint32)
+
+        big = 0
+        off = 0
+        for v, n in zip(vals, nb):
+            big |= (int(v) & ((1 << int(n)) - 1)) << off
+            off += int(n)
+        want = np.array([(big >> (32 * w)) & 0xFFFFFFFF for w in range(NW)], np.uint32)
+
+        words, tb = f(jnp.asarray(vals), jnp.asarray(nb))
+        assert int(tb) == off
+        np.testing.assert_array_equal(np.asarray(words), want)
