@@ -83,7 +83,35 @@ def _corpus_encoder_flat(options: CompressionOptions, emit_size: int, batch: int
         meta = jnp.stack(
             [out["total_bits"], out["btype"], out["data_bits"]]
         ).astype(jnp.int32)
-        return meta, out["words"], P[-1, E - HALO :]
+        # Device-side used-prefix compaction: the host link (~24 MB/s fetch,
+        # scripts/link_probe.py) is the e2e wall, so fetch only the words the
+        # splicer will actually read — ceil(data_bits/32) per Huffman chunk,
+        # ZERO for stored chunks (the host re-emits those from the raw
+        # payload it already holds; models/assembly.py).  One stable sort by
+        # destination index packs every chunk's used prefix contiguously.
+        words = out["words"]
+        NW = words.shape[1]
+        used = jnp.where(
+            meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32
+        )  # [B] words needed per chunk
+        woff = jnp.cumsum(used) - used  # exclusive offsets in the flat buffer
+        j = jnp.arange(NW, dtype=jnp.int32)
+        key = jnp.where(
+            j[None, :] < used[:, None],
+            woff[:, None] + j[None, :],
+            jnp.int32(batch * NW),
+        ).reshape(-1)
+        compact = jax.lax.sort(
+            [key, words.reshape(-1)], num_keys=1, is_stable=True
+        )[1]
+        # Two static pieces instead of one buffer: the host fetches the
+        # first unconditionally and the second only when the batch's used
+        # words exceed CAP (ratio > ~0.5 net of stored chunks — rare).
+        # Static outputs avoid dispatching a dynamic slice program from the
+        # fetch worker, which serializes the whole pipeline behind queued
+        # encodes (measured: 0.47 s -> 1.26 s on the 8 MiB bench).
+        cap = (batch * NW) // 2
+        return meta, compact[:cap], compact[cap:], P[-1, E - HALO :]
 
     return jax.jit(run)
 
@@ -134,7 +162,11 @@ def compress_corpus(
 
         options = dataclasses.replace(options, chain_scale=max(1, E // FULL_EMIT))
     # Host-side native checksums (see compress_stream); skip the device ones.
-    flat_mode = E >= HALO  # device-side halo windows need E-byte tails
+    # flat_mode needs E-byte tails for the device-side halo windows, and its
+    # compacted output drops stored chunks' words (the packed splicer
+    # re-emits those from the raw payload) — packed=False needs full rows,
+    # so it keeps the legacy host-staging encoder.
+    flat_mode = E >= HALO and packed
     encoder = None if flat_mode else _corpus_encoder(options, E)
 
     offsets = list(range(0, n, E)) if n else [0]
@@ -163,21 +195,31 @@ def compress_corpus(
         meta = np.asarray(meta_d)  # (3, B) — the synchronizing fetch
         if trace:
             tstats["meta_s"] += time.perf_counter() - t0
-        # Fetch only the used word prefix: the device buffer is sized for
-        # the worst legal output, but typically <50% is populated, and the
-        # host link is the e2e bottleneck.  One ragged-max slice keeps it a
-        # single transfer.
+        # Fetch only what the splicer reads — the host link is the e2e
+        # bottleneck.  flat_mode: the device compacted every chunk's used
+        # word prefix (zero for stored chunks) into one flat buffer; fetch
+        # its used prefix.  Legacy mode: ragged-max row slice.
         # The slice itself is a device program that queues behind any
         # already-dispatched encode batches (device FIFO), so slicing trades
         # transfer bytes for queue latency; skippable for measurement.
-        if os.environ.get("DEFLATE_TPU_FETCH_SLICE", "1") == "0":
+        if flat_mode:
+            head_d, rest_d = words_d
+            used = np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
+            need = int(used.sum())
+            t0 = time.perf_counter() if trace else 0.0
+            words = np.asarray(head_d)
+            if need > words.shape[0]:
+                words = np.concatenate([words, np.asarray(rest_d)])
+            if trace:
+                tstats["words_s"] += time.perf_counter() - t0
+                tstats["words_mb"] += words.nbytes / 1e6
+            return meta, words
+        if os.environ.get("DEFLATE_TPU_FETCH_SLICE", "1") == "0" or not packed:
+            # packed=False feeds fixed-stride rows to native.assemble_chunks;
+            # per-batch ragged slicing would give batches different widths.
             src = words_d
         else:
             need = max(1, (int(meta[0].max()) + 31) // 32)
-            # Quantize to halving buckets of the full width: each distinct
-            # slice shape compiles a (tiny) device program, and remote
-            # compiles are not free — log2 buckets bound that while keeping
-            # the saving.
             maxw = words_d.shape[1]
             while maxw // 2 >= need:
                 maxw //= 2
@@ -196,17 +238,28 @@ def compress_corpus(
         if trace:
             tstats["join_s"] += time.perf_counter() - t0
             t0 = time.perf_counter()
-        words = words.view(np.uint8).reshape(len(ns_h), -1)
-        for i, off in enumerate(group):
-            if packed:
+        if flat_mode:
+            used = np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
+            woff = np.cumsum(used) - used
+            bwords = words.view(np.uint8)
+            for i, off in enumerate(group):
                 splice_encoded_chunk(
-                    asm, int(meta[1, i]), int(meta[2, i]), words[i],
+                    asm, int(meta[1, i]), int(meta[2, i]),
+                    bwords[4 * woff[i] : 4 * (woff[i] + used[i])],
                     data[off : off + ns_h[i]], lasts_h[i],
                 )
-            else:
-                nbytes_all.append((int(meta[0, i]) + 7) // 8)
-        if not packed:
-            pieces.append(words[: len(group)])
+        else:
+            words = words.view(np.uint8).reshape(len(ns_h), -1)
+            for i, off in enumerate(group):
+                if packed:
+                    splice_encoded_chunk(
+                        asm, int(meta[1, i]), int(meta[2, i]), words[i],
+                        data[off : off + ns_h[i]], lasts_h[i],
+                    )
+                else:
+                    nbytes_all.append((int(meta[0, i]) + 7) // 8)
+            if not packed:
+                pieces.append(words[: len(group)])
         if trace:
             tstats["splice_s"] += time.perf_counter() - t0
 
@@ -232,9 +285,10 @@ def compress_corpus(
             # Explicit async upload: the H2D copy streams while the previous
             # batches compute / fetch, instead of blocking inside dispatch.
             payload = jax.device_put(payload)
-            meta_d, words_d, prev_tail = _corpus_encoder_flat(options, E, B)(
+            meta_d, head_d, rest_d, prev_tail = _corpus_encoder_flat(options, E, B)(
                 payload, prev_tail, hist, ns, lasts
             )
+            words_d = (head_d, rest_d)
         else:
             bufs = np.zeros((B, HALO + E + PAD), np.uint8)
             for i, off in enumerate(group):
