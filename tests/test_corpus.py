@@ -36,6 +36,38 @@ def test_corpus_empty_and_small():
     assert zlib.decompress(compress_corpus_zlib(b"hi")) == b"hi"
 
 
+def test_corpus_compaction_paths():
+    """Exercise the device-side used-prefix compaction's edge shapes:
+    stored-only batches (zero used words), a batch whose used words exceed
+    the fixed head cap (forces the rest-piece fetch), and mixed batches."""
+    from deflate_rs_tpu.parallel.corpus import compress_corpus
+
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 256, 3 * 65536, dtype=np.uint8).tobytes()
+
+    # All-stored batch: every chunk incompressible -> compact buffer empty.
+    res = compress_corpus(rand, batch_size=3)
+    assert zlib.decompress(res.deflate, wbits=-15) == rand
+    assert res.crc32 == zlib.crc32(rand)
+
+    # Barely-compressible Huffman chunks: used words > cap (= half the
+    # worst-case buffer) so the fetch path concatenates the rest piece.
+    # Uniform bytes over 64 symbols entropy-code to ~6 bits/byte — dynamic
+    # blocks at ~0.75 ratio, well past the 50% cap but cheaper than stored.
+    dense = rng.integers(0, 64, 4 * 65536, dtype=np.uint8).tobytes()
+    res = compress_corpus(dense, batch_size=4)
+    assert zlib.decompress(res.deflate, wbits=-15) == dense
+    assert len(res.deflate) > 0.5 * len(dense)  # the cap-overflow regime
+
+    # Mixed: stored + text + runs in one batch, odd tail.
+    with open(os.path.join(DATA_DIR, "pg11.txt"), "rb") as f:
+        text = f.read()
+    mixed = rand[:65536] + text[:100_000] + b"\x00" * 70_000 + rand[: 12_345]
+    res = compress_corpus(mixed, batch_size=4)
+    assert zlib.decompress(res.deflate, wbits=-15) == mixed
+    assert res.deflate == dt.deflate_bytes(mixed)
+
+
 def test_corpus_large_chunks():
     """256 KiB device chunks: valid stream, ratio no worse than 64 KiB."""
     from deflate_rs_tpu.parallel.corpus import compress_corpus
