@@ -109,14 +109,9 @@ def _corpus_encoder_flat(options: CompressionOptions, emit_size: int, batch: int
         # words exceed CAP (ratio > ~0.5 net of stored chunks — rare).
         # Static outputs avoid dispatching a dynamic slice program from the
         # fetch worker, which serializes the whole pipeline behind queued
-        # encodes (measured: 0.47 s -> 1.26 s on the 8 MiB bench).  The
-        # (3, B) meta rides as the head's first 3*B words: one synchronizing
-        # fetch per batch instead of two — each costs a ~31 ms tunnel RTT.
+        # encodes (measured: 0.47 s -> 1.26 s on the 8 MiB bench).
         cap = (batch * NW) // 2
-        head = jnp.concatenate(
-            [meta.reshape(-1).astype(jnp.uint32), compact[:cap]]
-        )
-        return head, compact[cap:], P[-1, E - HALO :]
+        return meta, compact[:cap], compact[cap:], P[-1, E - HALO :]
 
     return jax.jit(run)
 
@@ -195,38 +190,30 @@ def compress_corpus(
     trace = os.environ.get("DEFLATE_TPU_TRACE_CORPUS") == "1"
     tstats = {"meta_s": 0.0, "words_s": 0.0, "words_mb": 0.0, "join_s": 0.0, "splice_s": 0.0}
 
-    def fetch_batch(meta_d, words_d, nb=0):
-        # Fetch only what the splicer reads — the host link is the e2e
-        # bottleneck.  flat_mode: the device compacted every chunk's used
-        # word prefix (zero for stored chunks) into a flat buffer whose
-        # first 3*nb words are the (3, nb) meta — ONE synchronizing fetch
-        # per batch (a tunnel round trip costs ~31 ms).  Legacy mode:
-        # separate meta fetch, then a ragged-max row slice (the slice is a
-        # device program that queues behind any already-dispatched encode
-        # batches on the device FIFO).
-        if flat_mode:
-            head_d, rest_d = words_d
-            t0 = time.perf_counter() if trace else 0.0
-            head = np.asarray(head_d)
-            if trace:
-                tstats["meta_s"] += time.perf_counter() - t0
-            meta = head[: 3 * nb].view(np.int32).reshape(3, nb)
-            words = head[3 * nb :]
-            used = np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
-            need = int(used.sum())
-            t0 = time.perf_counter() if trace else 0.0
-            if need > words.shape[0]:
-                words = np.concatenate([words, np.asarray(rest_d)])
-            if trace:
-                tstats["words_s"] += time.perf_counter() - t0
-                tstats["words_mb"] += head.nbytes / 1e6 + max(
-                    0, (words.nbytes - head.nbytes + 12 * nb) / 1e6
-                )
-            return meta, words
+    def fetch_batch(meta_d, words_d):
         t0 = time.perf_counter() if trace else 0.0
         meta = np.asarray(meta_d)  # (3, B) — the synchronizing fetch
         if trace:
             tstats["meta_s"] += time.perf_counter() - t0
+        # Fetch only what the splicer reads — the host link is the e2e
+        # bottleneck.  flat_mode: the device compacted every chunk's used
+        # word prefix (zero for stored chunks) into one flat buffer; fetch
+        # its used prefix.  Legacy mode: ragged-max row slice.
+        # The slice itself is a device program that queues behind any
+        # already-dispatched encode batches (device FIFO), so slicing trades
+        # transfer bytes for queue latency; skippable for measurement.
+        if flat_mode:
+            head_d, rest_d = words_d
+            used = np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
+            need = int(used.sum())
+            t0 = time.perf_counter() if trace else 0.0
+            words = np.asarray(head_d)
+            if need > words.shape[0]:
+                words = np.concatenate([words, np.asarray(rest_d)])
+            if trace:
+                tstats["words_s"] += time.perf_counter() - t0
+                tstats["words_mb"] += words.nbytes / 1e6
+            return meta, words
         if os.environ.get("DEFLATE_TPU_FETCH_SLICE", "1") == "0" or not packed:
             # packed=False feeds fixed-stride rows to native.assemble_chunks;
             # per-batch ragged slicing would give batches different widths.
@@ -298,10 +285,10 @@ def compress_corpus(
             # Explicit async upload: the H2D copy streams while the previous
             # batches compute / fetch, instead of blocking inside dispatch.
             payload = jax.device_put(payload)
-            head_d, rest_d, prev_tail = _corpus_encoder_flat(options, E, B)(
+            meta_d, head_d, rest_d, prev_tail = _corpus_encoder_flat(options, E, B)(
                 payload, prev_tail, hist, ns, lasts
             )
-            meta_d, words_d = None, (head_d, rest_d)
+            words_d = (head_d, rest_d)
         else:
             bufs = np.zeros((B, HALO + E + PAD), np.uint8)
             for i, off in enumerate(group):
@@ -316,7 +303,7 @@ def compress_corpus(
                 group,
                 [int(x) for x in ns],
                 [bool(x) for x in lasts],
-                pool.submit(fetch_batch, meta_d, words_d, B),
+                pool.submit(fetch_batch, meta_d, words_d),
             )
         )
         if len(fetch_q) > queue_depth:
