@@ -68,11 +68,20 @@ def build_cases(data_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="default preset only")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (smoke the matrix when no TPU is attached; "
+        "env alone is too late — the site hook imports jax at startup)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -125,6 +134,38 @@ def main():
             print(f"{status:8s} {pname:13s} {cname:18s} {len(data):8d} -> {len(out):8d}  {dt_s:6.2f}s", flush=True)
             if not ok:
                 failures.append((pname, cname))
+
+    # Corpus-path cases (the batched pipeline behind bench.py): exercises
+    # the device-side used-prefix compaction, two-piece fetch, stored-chunk
+    # host re-emission, and marker-free splicing on the compiled TPU path.
+    from deflate_rs_tpu.parallel.corpus import compress_corpus
+
+    rng = np.random.default_rng(3)
+    with open(os.path.join(data_dir, "pg11.txt"), "rb") as f:
+        text = f.read()
+    corpus_cases = {
+        "corpus_text": (text * 3)[: 6 * 65536 + 777],
+        "corpus_stored": rng.integers(0, 256, 4 * 65536, dtype=np.uint8).tobytes(),
+        "corpus_cap_overflow": rng.integers(0, 64, 4 * 65536, dtype=np.uint8).tobytes(),
+        "corpus_mixed": text[:100_000]
+        + rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+        + b"\x00" * 70_000,
+    }
+    for cname, data in corpus_cases.items():
+        n_run += 1
+        t0 = time.perf_counter()
+        try:
+            res = compress_corpus(data, batch_size=4)
+            ok = zlib.decompress(res.deflate, wbits=-15) == data
+            ok = ok and res.adler == zlib.adler32(data) and res.crc32 == zlib.crc32(data)
+            out = res.deflate
+            status = "PASS" if ok else "FAIL"
+        except Exception as e:  # noqa: BLE001
+            status, out, ok = f"ERROR {type(e).__name__}: {e}", b"", False
+        dt_s = time.perf_counter() - t0
+        print(f"{status:8s} {'corpus':13s} {cname:18s} {len(data):8d} -> {len(out):8d}  {dt_s:6.2f}s", flush=True)
+        if not ok:
+            failures.append(("corpus", cname))
 
     total_s = time.perf_counter() - t_start
     print(f"\n{n_run - len(failures)}/{n_run} passed on {platform} in {total_s:.0f}s")
