@@ -54,7 +54,8 @@ class StreamResult:
 
 
 def compress_stream(
-    data: bytes, options: CompressionOptions, *, packed: bool = True
+    data: bytes, options: CompressionOptions, *, packed: bool = True,
+    pipelined: bool | None = None,
 ) -> StreamResult:
     """Compress ``data`` into a raw DEFLATE stream (with checksums).
 
@@ -63,8 +64,27 @@ def compress_stream(
     flush, compress.rs:257-262).  ``packed=False`` byte-aligns every chunk
     with a sync marker (the device-assembly framing used by the sharded
     pipeline, parallel/sharded.py).
+
+    ``pipelined`` selects the batched corpus engine (parallel/corpus.py);
+    the default auto-routes multi-chunk inputs there.  Both engines produce
+    identical bytes (tested); ``pipelined=False`` pins the chunk-by-chunk
+    engine (used by tests to assert that identity).
     """
     n = len(data)
+    if pipelined is None:
+        pipelined = packed and n > 4 * FULL_EMIT
+    if pipelined and packed:
+        # Multi-chunk inputs ride the batched corpus pipeline: identical
+        # output bits (asserted in tests/test_corpus.py) but with batched
+        # device programs and an overlapped fetch/splice pipeline instead of
+        # one synchronous dispatch per chunk — the one-shot path is
+        # dispatch-latency-bound on the tunnel platform.
+        from ..parallel.corpus import compress_corpus
+
+        # chunk_size passed explicitly: the corpus default binds FULL_EMIT
+        # at its own import time, which may postdate a test's monkeypatched
+        # value — the call-time global is the source of truth.
+        return compress_corpus(data, options, chunk_size=FULL_EMIT)
     emit = SMALL_EMIT if n <= SMALL_EMIT else FULL_EMIT
     # Checksums run on the host (native C slice-by-8, GB/s) — the device
     # CRC tree is a material fraction of encode time and the host holds the

@@ -23,6 +23,14 @@ def test_corpus_matches_oneshot():
 
     z = compress_corpus_zlib(data, batch_size=3)
     assert zlib.decompress(z) == data
+    # Pin the two engines' byte identity explicitly: deflate_bytes_zlib
+    # auto-routes large inputs through the corpus engine, so compare against
+    # the chunk-by-chunk engine directly.
+    from deflate_rs_tpu.models.deflate import compress_stream
+    from deflate_rs_tpu.compression_options import CompressionOptions
+
+    legacy = compress_stream(data, CompressionOptions.default(), pipelined=False)
+    assert z[2:-4] == legacy.deflate
     assert z == dt.deflate_bytes_zlib(data)
 
     import gzip as _gz
