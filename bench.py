@@ -44,8 +44,38 @@ def build_corpus(total_bytes: int) -> bytes:
     return (unit * reps)[:total_bytes]
 
 
+def _tpu_tunnel_alive() -> bool:
+    """True if the axon relay accepts connections (port 8082).
+
+    The tunnel relay can die out from under the session; jax.devices() then
+    hangs indefinitely instead of erroring.  Probe before first device use
+    so the bench degrades to an honestly-labeled CPU run instead of
+    wedging the driver.
+    """
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+            return True
+    except OSError:
+        return False
+
+
 def main():
+    import time as _time
+
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
+        for _ in range(3):
+            if _tpu_tunnel_alive():
+                break
+            _time.sleep(30)
+        else:
+            os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compilation cache: the fused encoder takes minutes to build
     # through the remote-compile tunnel; cache it across bench runs.
@@ -72,6 +102,9 @@ def main():
     # 16 MiB corpus reaches pipeline steady state (8 MiB: 0.025, 16: 0.028).
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     total_mb = int(os.environ.get("BENCH_MB", "16"))
+    if platform == "cpu":
+        # Fallback mode (tunnel down or forced): keep the run bounded.
+        total_mb = min(total_mb, 2)
 
     data = build_corpus(total_mb << 20)
     n = len(data)
@@ -115,7 +148,7 @@ def main():
             # 1.44 at 32 — bigger batches pressure HBM without amortizing
             # anything the 16-batch doesn't); the e2e batch above is chosen
             # for link RTT amortization instead.  Separate knobs.
-            batch = min(batch, 16)
+            batch = max(1, min(batch, 16, (n - ce.HALO - ce.PAD) // chunk))
             raw = np.frombuffer(data[: batch * chunk + ce.HALO + ce.PAD], np.uint8)
             # Device-resident inputs: numpy operands would re-upload per
             # timed call through the tunnel and swamp the measurement.
@@ -149,21 +182,37 @@ def main():
         except Exception as e:  # noqa: BLE001
             extra = {"device_metrics_error": f"{type(e).__name__}: {e}"}
 
-    print(
-        json.dumps(
-            {
-                "metric": "encode_gbps_silesia_like_default_e2e",
-                "value": round(gbps, 4),
-                "unit": "GB/s",
-                "vs_baseline": round(gbps / 1.0, 4),
-                "platform": platform,
-                "encoded_mb": n >> 20,
-                "seconds": round(secs, 3),
-                "ratio": round(len(res.deflate) / n, 4),
-                **extra,
-            }
-        )
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_tpu_path = os.path.join(here, "BENCH_LAST_TPU.json")
+    result = {
+        "metric": "encode_gbps_silesia_like_default_e2e",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / 1.0, 4),
+        "platform": platform,
+        "encoded_mb": n >> 20,
+        "seconds": round(secs, 3),
+        "ratio": round(len(res.deflate) / n, 4),
+        **extra,
+    }
+    if platform == "tpu":
+        try:
+            with open(last_tpu_path, "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+    elif os.path.exists(last_tpu_path):
+        # CPU fallback (TPU tunnel down): the CPU number is NOT the
+        # framework's throughput — attach the most recent real-TPU result,
+        # clearly labeled, so the record distinguishes "slow" from
+        # "hardware unavailable".
+        try:
+            with open(last_tpu_path) as f:
+                result["last_tpu"] = json.load(f)
+            result["note"] = "tpu tunnel unavailable; value above is CPU fallback"
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
