@@ -15,6 +15,14 @@ written out in parallel (every process pwrites its shards at their offsets).
 This replaces the round-1 psum-the-whole-stream design, which materialized
 O(total output) on every device (VERDICT.md weak #6).
 
+Production note: on a real pod the device->host fetch should additionally
+use the used-prefix compaction + fixed two-piece output implemented for the
+single-chip pipeline (parallel/corpus.py ``_corpus_encoder_flat``) — the
+same sort-compaction works per shard inside ``local_step``.  It is not
+wired here because the virtual-CPU-mesh validation environment has no
+measurable device->host link to optimize, and the extra output plumbing
+would only obscure the collective logic this module exists to demonstrate.
+
 The returned ``btype``/``data_bits`` let the host splice shards marker-free
 (models/assembly.py) — sharded packed output is byte-identical to the
 one-shot ``compress_stream`` stream.
