@@ -89,15 +89,20 @@ class _DeflateCore:
         )
         if self.accountant is not None:
             self.accountant.account_chunk(len(payload), emitted, is_last)
-        self.adler_v = native.adler32(payload, self.adler_v)
-        self.crc_v = native.crc32(payload, self.crc_v)
         self.history = (self.history + payload)[-HALO:]
-        self.total_in += len(payload)
         self.started = True
 
     def feed(self, data) -> list[bytes]:
         """Buffer input; emit compressed bytes for every complete chunk."""
-        self.pending += bytes(data)
+        data = bytes(data)
+        self.pending += data
+        # Checksums cover bytes the moment write() accepts them — the
+        # reference's semantics (writer.rs:258-265 checksums &buf[..n] with
+        # n = write's return), observable via the checksum() accessor before
+        # a chunk boundary is reached.
+        self.adler_v = native.adler32(data, self.adler_v)
+        self.crc_v = native.crc32(data, self.crc_v)
+        self.total_in += len(data)
         if self.accountant is not None:
             self.accountant.consume(len(data))
         while len(self.pending) > FULL_EMIT:
@@ -255,6 +260,10 @@ class ZlibEncoder(DeflateEncoder):
     def _header(self) -> bytes:
         return C.zlib_header()
 
+    def checksum(self) -> int:
+        """Running Adler-32 over the bytes consumed so far (writer.rs:248)."""
+        return self._core.adler_v
+
     def _trailer(self) -> bytes:
         return self._core.adler_v.to_bytes(4, "big")
 
@@ -282,6 +291,10 @@ class GzEncoder(DeflateEncoder):
         old = super().reset(writer)
         self._builder = builder
         return old
+
+    def checksum(self) -> int:
+        """Running CRC-32 over the bytes consumed so far (writer.rs:429)."""
+        return self._core.crc_v
 
     def _trailer(self) -> bytes:
         return self._core.crc_v.to_bytes(4, "little") + (

@@ -235,6 +235,27 @@ def test_stuttering_writer_completes(pg11):
     assert bytes(w.buf) == dt.deflate_bytes_zlib(data)
 
 
+def test_running_checksum_accessor(pg11):
+    """ZlibEncoder.checksum() / GzEncoder.checksum() expose the running
+    checksum over consumed bytes (writer.rs:248, writer.rs:429)."""
+    import io
+    import zlib as _z
+
+    enc = ZlibEncoder(io.BytesIO())
+    assert enc.checksum() == 1  # Adler-32 of the empty string
+    enc.write(pg11[:10_000])
+    assert enc.checksum() == _z.adler32(pg11[:10_000])
+    enc.write(pg11[10_000:30_000])
+    assert enc.checksum() == _z.adler32(pg11[:30_000])
+    enc.finish()
+
+    g = GzEncoder(io.BytesIO())
+    assert g.checksum() == 0
+    g.write(pg11[:7_000])
+    assert g.checksum() == _z.crc32(pg11[:7_000])
+    g.finish()
+
+
 def test_gz_reset_uses_blank_builder():
     """GzEncoder.reset must revert to a blank header (writer.rs:394-399);
     reset_with_builder installs the provided one (writer.rs:401-407)."""
