@@ -249,6 +249,17 @@ class DeflateEncoder:
             self.finish()
         return False
 
+    def __del__(self):
+        """Best-effort finish on drop, like the reference's Drop impl
+        (writer.rs:139-152: output_all unless already panicking).  Errors
+        are swallowed — an unfinished encoder being collected must never
+        raise; call finish() explicitly to observe failures."""
+        try:
+            if getattr(self, "_finished", True) is False and self._header_written:
+                self.finish()
+        except Exception:
+            pass
+
 
 class ZlibEncoder(DeflateEncoder):
     """zlib-framed streaming encoder (writer.rs:183).

@@ -256,6 +256,19 @@ def test_running_checksum_accessor(pg11):
     g.finish()
 
 
+def test_drop_finishes_best_effort(pg11):
+    """Dropping an unfinished encoder completes the stream best-effort,
+    like the reference's Drop impl (writer.rs:139-152)."""
+    import gc
+
+    sink = io.BytesIO()
+    enc = ZlibEncoder(sink)
+    enc.write(pg11[:90_000])
+    del enc
+    gc.collect()
+    assert zlib.decompress(sink.getvalue()) == pg11[:90_000]
+
+
 def test_gz_reset_uses_blank_builder():
     """GzEncoder.reset must revert to a blank header (writer.rs:394-399);
     reset_with_builder installs the provided one (writer.rs:401-407)."""
