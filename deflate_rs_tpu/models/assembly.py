@@ -77,7 +77,11 @@ class BitAssembler:
         full = self.bits >> 3
         out = bytes(self.buf[:full])
         tail = self.buf[full] if self.bits & 7 else 0
-        self.buf[: len(self.buf)] = bytes(len(self.buf))
+        # Only the drained prefix can hold nonzero bytes — everything above
+        # self.bits is zero by the class invariant — so zeroing buf[:full+1]
+        # restores it at cost proportional to the drain, not the capacity
+        # (a small streaming write must not memset the whole ~77 KB buffer).
+        self.buf[: full + 1] = bytes(full + 1)
         self.buf[0] = tail
         self.bits &= 7
         return out

@@ -230,9 +230,13 @@ class DeflateEncoder:
         ``output_all`` first, which for the zlib/gzip encoders *includes* the
         trailer (writer.rs:205-214 — ZlibEncoder::output_all calls
         write_trailer; writer.rs:370-375 likewise for gzip), so the old
-        writer holds a complete, valid stream."""
-        if not self._finished:
-            self.finish()
+        writer holds a complete, valid stream.
+
+        finish() is called unconditionally: if a previous finish() staged
+        the final block + trailer but the writer failed mid-drain, the
+        staged tail is still in the output buffer and must reach the OLD
+        writer (retry) — otherwise it would corrupt the next stream."""
+        self.finish()
         old, self._writer = self._writer, writer
         self._core.reset_state()
         self._finished = False
@@ -253,8 +257,15 @@ class DeflateEncoder:
         """Best-effort finish on drop, like the reference's Drop impl
         (writer.rs:139-152: output_all unless already panicking).  Errors
         are swallowed — an unfinished encoder being collected must never
-        raise; call finish() explicitly to observe failures."""
+        raise; call finish() explicitly to observe failures.  Skipped while
+        an exception is propagating (the ``thread::panicking()`` analogue):
+        an encoder abandoned during unwinding must not write a compressed
+        tail into a writer the error handler may be repurposing."""
+        import sys
+
         try:
+            if sys.exc_info()[0] is not None:
+                return
             if getattr(self, "_finished", True) is False and self._header_written:
                 self.finish()
         except Exception:

@@ -141,7 +141,8 @@ def compress_corpus(
     pigz's block size).  The default matches the one-shot path byte-exactly;
     larger chunks (e.g. 262144) amortize the fixed 32 KiB history halo and
     per-chunk table construction over more payload — ~25% less device work
-    per byte at 256 KiB.  Must be a positive multiple of 4.
+    per byte at 256 KiB.  Must be a positive multiple of 16 (the TPU parse
+    kernel's segment count).
 
     The suffix-order matcher's candidate neighborhoods dilute as the chunk
     grows (more out-of-window positions share a content prefix), so the
@@ -155,8 +156,11 @@ def compress_corpus(
     options = _resolve(options or CompressionOptions.default())
     n = len(data)
     E = int(chunk_size)
-    if E <= 0 or E % 4:
-        raise ValueError(f"chunk_size must be a positive multiple of 4, got {E}")
+    if E <= 0 or E % 16:
+        # 16: the TPU parse kernel's segment count (parse_scan._to_groups
+        # reshapes the emit region to (..., 16, E // 16)); a merely-multiple-
+        # of-4 size would fail deep inside jit tracing instead of here.
+        raise ValueError(f"chunk_size must be a positive multiple of 16, got {E}")
     if E > FULL_EMIT and options.max_hash_checks:
         import dataclasses
 
@@ -264,53 +268,59 @@ def compress_corpus(
             tstats["splice_s"] += time.perf_counter() - t0
 
     prev_tail = np.zeros(HALO, np.uint8) if flat_mode else None
-    for base in range(0, len(offsets), batch_size):
-        group = offsets[base : base + batch_size]
-        # Pad the tail batch to full width: one compiled shape for the whole
-        # run (a second compile costs minutes through the remote tunnel).
-        B = batch_size if len(offsets) > batch_size else len(group)
-        hist = np.zeros(B, np.int32)
-        ns = np.zeros(B, np.int32)
-        lasts = np.zeros(B, bool)
-        for i, off in enumerate(group):
-            ln = min(n - off, E)
-            hist[i], ns[i], lasts[i] = min(off, HALO), ln, off + ln >= n
-        if flat_mode:
-            lo, hi = group[0], group[0] + B * E
-            if hi <= n:
-                payload = arr[lo:hi]  # zero-copy view; device_put copies once
-            else:
-                payload = np.zeros(B * E, np.uint8)
-                payload[: n - lo] = arr[lo:]
-            # Explicit async upload: the H2D copy streams while the previous
-            # batches compute / fetch, instead of blocking inside dispatch.
-            payload = jax.device_put(payload)
-            meta_d, head_d, rest_d, prev_tail = _corpus_encoder_flat(options, E, B)(
-                payload, prev_tail, hist, ns, lasts
-            )
-            words_d = (head_d, rest_d)
-        else:
-            bufs = np.zeros((B, HALO + E + PAD), np.uint8)
+    try:
+        for base in range(0, len(offsets), batch_size):
+            group = offsets[base : base + batch_size]
+            # Pad the tail batch to full width: one compiled shape for the
+            # whole run (a second compile costs minutes through the remote
+            # tunnel).
+            B = batch_size if len(offsets) > batch_size else len(group)
+            hist = np.zeros(B, np.int32)
+            ns = np.zeros(B, np.int32)
+            lasts = np.zeros(B, bool)
             for i, off in enumerate(group):
-                h, ln = int(hist[i]), int(ns[i])
-                if h:
-                    bufs[i, HALO - h : HALO] = arr[off - h : off]
-                if ln:
-                    bufs[i, HALO : HALO + ln] = arr[off : off + ln]
-            meta_d, words_d = encoder(bufs, hist, ns, lasts)
-        fetch_q.append(
-            (
-                group,
-                [int(x) for x in ns],
-                [bool(x) for x in lasts],
-                pool.submit(fetch_batch, meta_d, words_d),
+                ln = min(n - off, E)
+                hist[i], ns[i], lasts[i] = min(off, HALO), ln, off + ln >= n
+            if flat_mode:
+                lo, hi = group[0], group[0] + B * E
+                if hi <= n:
+                    payload = arr[lo:hi]  # zero-copy view; device_put copies once
+                else:
+                    payload = np.zeros(B * E, np.uint8)
+                    payload[: n - lo] = arr[lo:]
+                # Explicit async upload: the H2D copy streams while the
+                # previous batches compute / fetch, instead of blocking
+                # inside dispatch.
+                payload = jax.device_put(payload)
+                meta_d, head_d, rest_d, prev_tail = _corpus_encoder_flat(
+                    options, E, B
+                )(payload, prev_tail, hist, ns, lasts)
+                words_d = (head_d, rest_d)
+            else:
+                bufs = np.zeros((B, HALO + E + PAD), np.uint8)
+                for i, off in enumerate(group):
+                    h, ln = int(hist[i]), int(ns[i])
+                    if h:
+                        bufs[i, HALO - h : HALO] = arr[off - h : off]
+                    if ln:
+                        bufs[i, HALO : HALO + ln] = arr[off : off + ln]
+                meta_d, words_d = encoder(bufs, hist, ns, lasts)
+            fetch_q.append(
+                (
+                    group,
+                    [int(x) for x in ns],
+                    [bool(x) for x in lasts],
+                    pool.submit(fetch_batch, meta_d, words_d),
+                )
             )
-        )
-        if len(fetch_q) > queue_depth:
+            if len(fetch_q) > queue_depth:
+                drain_one()
+        while fetch_q:
             drain_one()
-    while fetch_q:
-        drain_one()
-    pool.shutdown()
+    finally:
+        # A drain/fetch error must not leak the worker threads or keep
+        # queued futures pinning device buffers in a long-lived process.
+        pool.shutdown(cancel_futures=True)
     if trace:
         import sys
 

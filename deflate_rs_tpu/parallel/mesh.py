@@ -69,8 +69,27 @@ def make_mesh(num_devices: int | None = None) -> Mesh:
 def local_chunk_range(global_b: int, mesh: Mesh | None = None) -> range:
     """The [start, stop) rows of a ``DATA_AXIS``-sharded global batch whose
     shards live on THIS process — the rows a multi-host writer is
-    responsible for fetching and persisting."""
+    responsible for fetching and persisting.
+
+    Row ownership is contiguous per process because ``make_mesh`` lays the
+    1-D mesh out in ``jax.devices()`` order, which groups each process's
+    devices together; a ``P(DATA_AXIS)`` sharding then assigns row block i
+    to device i in that same order.  shard_map already requires the batch
+    to divide evenly over the mesh, so an indivisible batch is an error
+    here too — the old remainder fallback would have claimed rows this
+    process does not address.
+    """
     n_proc = jax.process_count()
     pid = jax.process_index()
+    if mesh is not None and mesh.devices.size % n_proc:
+        raise ValueError(
+            f"mesh of {mesh.devices.size} devices does not split over "
+            f"{n_proc} processes"
+        )
+    if global_b % n_proc:
+        raise ValueError(
+            f"global batch {global_b} is not divisible by the process "
+            f"count {n_proc}; pad the batch (shard_map requires this too)"
+        )
     per = global_b // n_proc
-    return range(pid * per, (pid + 1) * per if pid + 1 < n_proc else global_b)
+    return range(pid * per, (pid + 1) * per)

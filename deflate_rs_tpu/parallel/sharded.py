@@ -119,6 +119,16 @@ def assemble_host(out, n: int | None = None, *, packed: bool = False,
         return native.assemble_chunks(u8, nbytes[:B].astype(np.int64))
     btypes = np.asarray(out["btype"])
     dbits = np.asarray(out["data_bits"])
+    from .. import constants as C
+
+    if payloads is None and (btypes[:B] == C.BTYPE_STORED).any():
+        # A stored chunk cannot be spliced from device words at arbitrary
+        # bit phase; the splicer re-emits it from the raw payload.  Without
+        # payloads it would emit an EMPTY stored block — silent data loss.
+        raise ValueError(
+            "packed assembly of a batch containing stored chunks requires "
+            "the raw payloads (pass payloads=[chunk bytes, ...])"
+        )
     total_cap = int(nbytes[:B].sum())
     asm = BitAssembler(total_cap + 4096)
     for i in range(B):

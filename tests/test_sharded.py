@@ -125,6 +125,22 @@ def test_sharded_packed_matches_oneshot_packed():
     assert out == expected
 
 
+def test_sharded_packed_requires_payloads_for_stored():
+    """packed assembly without payloads must refuse batches containing
+    stored chunks instead of silently emitting empty stored blocks."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, 3 * EMIT, dtype=np.uint8).tobytes()  # stored
+    mesh = make_mesh(8)
+    step = make_sharded_encoder(mesh, CompressionOptions.default(), EMIT)
+    (bufs, hist, ns, lasts), B = pad_to_multiple(build_batch(data, EMIT), 8)
+    out_d = step(bufs, hist, ns, lasts)
+    with pytest.raises(ValueError, match="stored chunks"):
+        assemble_host(out_d, B, packed=True, is_lasts=lasts[:B])
+
+
 def test_sharded_outputs_stay_sharded_and_offsets_tile():
     """Outputs must remain sharded over the mesh (no replicated whole-stream
     buffer — VERDICT.md weak #6) and the collective offset scan must tile the

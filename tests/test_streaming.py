@@ -256,6 +256,58 @@ def test_running_checksum_accessor(pg11):
     g.finish()
 
 
+def test_reset_after_failed_finish_drains_to_old_writer(pg11):
+    """If finish() staged the trailer but the writer failed mid-drain,
+    reset() must retry the drain into the OLD writer — never leak the stale
+    tail into the next stream."""
+
+    class FlakyWriter:
+        def __init__(self):
+            self.buf = bytearray()
+            self.fail = False
+
+        def write(self, b):
+            if self.fail:
+                raise OSError("disk full")
+            self.buf += bytes(b)
+            return len(b)
+
+    w1 = FlakyWriter()
+    enc = ZlibEncoder(w1)
+    enc.write(pg11[:50_000])
+    w1.fail = True
+    with pytest.raises(OSError):
+        enc.finish()
+    w1.fail = False
+
+    w2 = FlakyWriter()
+    old = enc.reset(w2)
+    assert old is w1
+    # Old writer got the complete first stream on the retry...
+    assert zlib.decompress(bytes(w1.buf)) == pg11[:50_000]
+    # ...and the new stream is clean.
+    enc.write(pg11[:10_000])
+    enc.finish()
+    assert zlib.decompress(bytes(w2.buf)) == pg11[:10_000]
+
+
+def test_drop_skipped_during_exception_unwind(pg11):
+    """Finalizing an encoder while an exception is active must not write to
+    the (possibly repurposed) writer — the analogue of the reference's
+    thread::panicking() guard (writer.rs:148)."""
+    sink = io.BytesIO()
+    enc = ZlibEncoder(sink)
+    enc.write(pg11[:90_000])
+    before = sink.getvalue()
+    try:
+        raise RuntimeError("abort mid-stream")
+    except RuntimeError:
+        enc.__del__()  # finalizer with an active exception: must be a no-op
+        assert sink.getvalue() == before
+    enc.__del__()  # no active exception: best-effort finish completes it
+    assert zlib.decompress(sink.getvalue()) == pg11[:90_000]
+
+
 def test_drop_finishes_best_effort(pg11):
     """Dropping an unfinished encoder completes the stream best-effort,
     like the reference's Drop impl (writer.rs:139-152)."""
