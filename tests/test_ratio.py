@@ -77,6 +77,23 @@ def test_pg11_size_golden(pg11, preset):
     )
 
 
+@pytest.mark.parametrize("path", ["/bin/bash", "/usr/bin/python3.11"])
+def test_binary_corpus_beats_zlib(path):
+    """Ratio guard on real ELF binaries (machine code + symbol tables —
+    nothing like the text corpus): default must stay at-or-under zlib-6,
+    high at-or-under zlib-9."""
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not in image")
+    with open(path, "rb") as f:
+        data = f.read()[:262144]
+    ours_d = len(dt.deflate_bytes_conf(data, CompressionOptions.default()))
+    z6 = len(zlib.compress(data, 6)) - 6
+    assert ours_d <= z6, f"default {ours_d} > zlib-6 {z6} on {path}"
+    ours_h = len(dt.deflate_bytes_conf(data, CompressionOptions.high()))
+    z9 = len(zlib.compress(data, 9)) - 6
+    assert ours_h <= z9, f"high {ours_h} > zlib-9 {z9} on {path}"
+
+
 def test_block_splitting_on_content_shifts():
     """Intra-chunk block splitting (the reference re-tables every <=31744
     tokens, output_writer.rs:19): chunks that straddle a text->binary shift
