@@ -68,6 +68,10 @@ class CompressionOptions:
     # restores in-window coverage.  Not part of the user-facing preset
     # surface; leave at 1 unless you know the chunk size.
     chain_scale: int = 1
+    # Block-split composition scoring policy: "auto" resolves per preset
+    # (see exact_split_scoring), "exact"/"proxy" pin it.  Internal knob —
+    # not part of the reference-mirroring preset surface.
+    split_scoring: str = "auto"
 
     @staticmethod
     def default() -> "CompressionOptions":
@@ -179,13 +183,22 @@ class CompressionOptions:
     @property
     def exact_split_scoring(self) -> bool:
         """Score block-split compositions with exact package-merge token
-        costs (ops/chunk_encode.py).  The high preset gets it because its
-        contract is squeezing the last ~0.1% of ratio; huffman_only/rle get
-        it because their all-literal histograms make the entropy proxy
-        noticeably lossier (60 B on pg11) and they are not throughput
-        presets.  fast/default use the proxy, which costs ~0.25 ms/chunk
-        less on TPU for a few-bytes-per-chunk size difference."""
-        return self.matcher_algo == "hash" or self.matcher_mode != "hash"
+        costs (ops/chunk_encode.py).  ``auto`` policy: the high preset gets
+        exact because its contract is squeezing the last ~0.1% of ratio;
+        huffman_only/rle get it because their all-literal histograms make
+        the entropy proxy noticeably lossier (60 B on pg11) and they are
+        not throughput presets.  fast/default use the proxy, which costs
+        ~0.25 ms/chunk less on TPU for a few-bytes-per-chunk difference.
+
+        The throughput presets are identified DIRECTLY (an sa-matcher
+        "hash" mode) rather than through tuning thresholds, and the
+        ``split_scoring`` field overrides the policy outright — retuning
+        matcher cutoffs must not silently flip scoring and shift the
+        ratio pins (tests/test_ratio.py PG11_GOLDEN_CEILINGS)."""
+        if self.split_scoring != "auto":
+            return self.split_scoring == "exact"
+        throughput_preset = self.matcher_mode == "hash" and self.matcher_algo == "sa"
+        return not throughput_preset
 
     def cache_key(self) -> tuple:
         return (
@@ -196,4 +209,5 @@ class CompressionOptions:
             self.lazy,
             min(self.lazy_if_less_than, 258),
             self.special.value,
+            self.exact_split_scoring,
         )

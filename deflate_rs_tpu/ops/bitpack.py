@@ -14,8 +14,7 @@ gathers/scatters are scalar-bound, ~10 ns/element — docs/perf_notes.md):
    starting in it — and the running uint32 sum of shifted low contributions,
    differenced at consecutive boundaries, is exactly the OR of that word's
    contributions (they are bitwise-disjoint; mod-2^32 wraparound cancels in
-   the difference).  The straddling carry into word w+1 is the boundary
-   field of word w's high part, riding the same compaction.
+   the difference);
 4. the straddling carry of word w's boundary field into word w+1 is folded
    into the running sum as an EXCLUSIVE cumsum of boundary carries, so the
    boundary differences recover (word contribution | carry-in) directly —

@@ -355,14 +355,24 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     exist = jnp.tensordot(_const(_EXIST), comp_onehot, axes=[[1], [0]])  # [t]
     NS = NQ
     if options.exact_split_scoring:
-        # Slot tables/freqs are row-selections of the per-range results
-        # already computed for scoring (nonexistent slots select range 0 —
-        # inert, every use is gated by ``exist`` or the quarter selectors).
+        # Slot tables, headers AND bit costs are row-selections of the
+        # per-range results already computed for scoring — no table or
+        # header work is redone for the chosen blocks (nonexistent slots
+        # select range 0: inert, every use is gated by ``exist`` or the
+        # quarter selectors).
         rid_t = jnp.tensordot(_const(_RID_T), comp_onehot, axes=[[1], [0]])
         l_freq_s = l_freq_r[rid_t]
         d_freq_s = d_freq_r[rid_t]
         l_len_s286 = l_len_r286[rid_t]
         d_len_s = d_len_r[rid_t]
+        hlit_s = hlit_x[rid_t]
+        hdist_s = hdist_x[rid_t]
+        rle_s = {k: v[rid_t] for k, v in rle_x.items()}
+        clen_len_s = clen_len_x[rid_t]
+        hclen_s = hclen_x[rid_t]
+        dyn_tok_bits_s = dyn_tok_bits_r[rid_t]
+        fix_tok_bits_s = fix_tok_bits_r[rid_t]
+        dyn_hdr_bits_s = hdr_bits_x[rid_t]  # same 14 + 3*hclen + clen formula
     else:
         mem = jnp.tensordot(_const(_MEM), comp_onehot, axes=[[2], [0]])  # [t, q]
         l_freq_s = jnp.einsum("tq,qa->ta", mem, lf_q).at[:, C.END_OF_BLOCK].add(exist)
@@ -380,55 +390,62 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         l_len_s286 = ld_len[:NS]  # [NS, 286]
         d_len_s = ld_len[NS:, : C.NUM_DIST_SYMBOLS]  # [NS, 30]
 
-    sym_l = jnp.arange(C.NUM_USED_LITLEN)
-    hlit_s = jnp.clip(
-        jnp.max(jnp.where(l_len_s286 > 0, sym_l[None, :], -1), axis=1) + 1,
-        C.MIN_NUM_LITLEN_CODES, C.NUM_USED_LITLEN,
-    )
-    sym_d = jnp.arange(C.NUM_DIST_SYMBOLS)
-    hdist_s = jnp.clip(
-        jnp.max(jnp.where(d_len_s > 0, sym_d[None, :], -1), axis=1) + 1,
-        C.MIN_NUM_DIST_CODES, C.NUM_DIST_SYMBOLS,
-    )
+        sym_l = jnp.arange(C.NUM_USED_LITLEN)
+        hlit_s = jnp.clip(
+            jnp.max(jnp.where(l_len_s286 > 0, sym_l[None, :], -1), axis=1) + 1,
+            C.MIN_NUM_LITLEN_CODES, C.NUM_USED_LITLEN,
+        )
+        sym_d = jnp.arange(C.NUM_DIST_SYMBOLS)
+        hdist_s = jnp.clip(
+            jnp.max(jnp.where(d_len_s > 0, sym_d[None, :], -1), axis=1) + 1,
+            C.MIN_NUM_DIST_CODES, C.NUM_DIST_SYMBOLS,
+        )
 
-    # Concatenated litlen+dist lengths, RLE encoded for each slot's header.
-    j = jnp.arange(CL_CAP, dtype=jnp.int32)
-    cl_s = jnp.where(
-        j[None, :] < hlit_s[:, None],
-        jnp.take_along_axis(
-            l_len_s286, jnp.broadcast_to(jnp.clip(j, 0, C.NUM_USED_LITLEN - 1), (NS, CL_CAP)), axis=1
-        ),
-        jnp.take_along_axis(
-            d_len_s, jnp.clip(j[None, :] - hlit_s[:, None], 0, C.NUM_DIST_SYMBOLS - 1), axis=1
-        ),
-    )
-    rle_s = jax.vmap(encode_code_lengths)(cl_s, hlit_s + hdist_s)
-    clen_len_s = jax.vmap(functools.partial(package_merge_lengths, max_len=C.MAX_CLEN_CODE_LENGTH))(
-        rle_s["freq"]
-    )  # [NS, 19]
+        # Concatenated litlen+dist lengths, RLE encoded per slot header.
+        j = jnp.arange(CL_CAP, dtype=jnp.int32)
+        cl_s = jnp.where(
+            j[None, :] < hlit_s[:, None],
+            jnp.take_along_axis(
+                l_len_s286,
+                jnp.broadcast_to(jnp.clip(j, 0, C.NUM_USED_LITLEN - 1), (NS, CL_CAP)),
+                axis=1,
+            ),
+            jnp.take_along_axis(
+                d_len_s, jnp.clip(j[None, :] - hlit_s[:, None], 0, C.NUM_DIST_SYMBOLS - 1), axis=1
+            ),
+        )
+        rle_s = jax.vmap(encode_code_lengths)(cl_s, hlit_s + hdist_s)
+        clen_len_s = jax.vmap(
+            functools.partial(package_merge_lengths, max_len=C.MAX_CLEN_CODE_LENGTH)
+        )(rle_s["freq"])  # [NS, 19]
+        hclen_s = jnp.clip(
+            jnp.max(
+                jnp.where(clen_len_s[:, C.CLEN_ORDER] > 0, jnp.arange(19)[None, :], -1), axis=1
+            )
+            + 1,
+            4, 19,
+        )
+
+        # ----------------------------------- exact bit costs, chosen blocks
+        dyn_tok_bits_s = jnp.sum(
+            l_freq_s * (l_len_s286 + l_extra_tbl[None, :]), axis=1
+        ) + jnp.sum(d_freq_s * (d_len_s + d_extra_tbl[None, :]), axis=1)
+        fix_tok_bits_s = jnp.sum(
+            l_freq_s * (fixed_l_len286 + l_extra_tbl)[None, :], axis=1
+        ) + jnp.sum(d_freq_s * (fixed_d_len + d_extra_tbl)[None, :], axis=1)
+        rle_used_s = jnp.arange(CL_CAP)[None, :] < rle_s["n"][:, None]
+        rle_sym_clen_s = jnp.take_along_axis(clen_len_s, rle_s["sym"], axis=1)
+        dyn_hdr_bits_s = (
+            14
+            + 3 * hclen_s
+            + jnp.sum(jnp.where(rle_used_s, rle_sym_clen_s, 0), axis=1)
+            + jnp.sum(rle_s["extra_bits"], axis=1)
+        )
+
     clen_codes_s = jax.vmap(functools.partial(canonical_codes, max_len=C.MAX_CLEN_CODE_LENGTH))(
         clen_len_s
     )
     clen_in_order_s = clen_len_s[:, C.CLEN_ORDER]  # host-const column gather
-    hclen_s = jnp.clip(
-        jnp.max(jnp.where(clen_in_order_s > 0, jnp.arange(19)[None, :], -1), axis=1) + 1, 4, 19
-    )
-
-    # ------------------------------------- exact bit costs, chosen blocks
-    dyn_tok_bits_s = jnp.sum(l_freq_s * (l_len_s286 + l_extra_tbl[None, :]), axis=1) + jnp.sum(
-        d_freq_s * (d_len_s + d_extra_tbl[None, :]), axis=1
-    )
-    fix_tok_bits_s = jnp.sum(l_freq_s * (fixed_l_len286 + l_extra_tbl)[None, :], axis=1) + jnp.sum(
-        d_freq_s * (fixed_d_len + d_extra_tbl)[None, :], axis=1
-    )
-    rle_used_s = jnp.arange(CL_CAP)[None, :] < rle_s["n"][:, None]
-    rle_sym_clen_s = jnp.take_along_axis(clen_len_s, rle_s["sym"], axis=1)
-    dyn_hdr_bits_s = (
-        14
-        + 3 * hclen_s
-        + jnp.sum(jnp.where(rle_used_s, rle_sym_clen_s, 0), axis=1)
-        + jnp.sum(rle_s["extra_bits"], axis=1)
-    )
 
     n_sub_static = max(1, (E + C.MAX_STORED_BLOCK - 1) // C.MAX_STORED_BLOCK)
     sub_k = jnp.arange(n_sub_static, dtype=jnp.int32)

@@ -60,8 +60,12 @@ def test_issue18_bin_vs_zlib():
 # regression ceilings: any matcher/packing change that grows output past
 # them must be deliberate.  When a change improves ratio, tighten the pin.
 PG11_GOLDEN_CEILINGS = {
-    "fast": 71271,  # entropy-proxy split scoring picks better compositions
-    "default": 60429,  # ditto (was 60480 with exact-scored splits)
+    # fast/default improved alongside the split-scoring rework (76075 ->
+    # 71271, 60480 -> 60429); the proxy itself cannot beat exact scoring,
+    # so the gain traces to the co-landed fixes in that range (bitpack
+    # straddle-carry fold correcting dropped-carry block choices).
+    "fast": 71271,
+    "default": 60429,
     "high": 60164,  # exact split scoring (options.exact_split_scoring)
     "rle": 97877,
     "huffman_only": 97867,
