@@ -149,6 +149,8 @@ def main() -> int:
     seen: set = set()
     failures = []
 
+    corpus_iter = [0]
+
     def run_one(data: bytes) -> bool:
         new_structure = False
         for pname, opts in presets.items():
@@ -169,6 +171,28 @@ def main() -> int:
             if key not in seen:
                 seen.add(key)
                 new_structure = True
+        # Every 8th multi-chunk input also roundtrips through the batched
+        # corpus engine (device-side compaction, two-piece fetch, stored
+        # host re-emission) with a varying batch size — the pipeline behind
+        # bench.py and the auto-routed one-shot path.
+        corpus_iter[0] += 1
+        if corpus_iter[0] % 8 == 0 and len(data) > 65536:
+            from deflate_rs_tpu.parallel.corpus import compress_corpus
+
+            bs = [2, 3, 5][corpus_iter[0] // 8 % 3]
+            try:
+                res = compress_corpus(data, presets["default"], batch_size=bs)
+                ok = zlib.decompress(res.deflate, wbits=-15) == data
+            except Exception as e:  # noqa: BLE001
+                ok = False
+                print(f"corpus-path EXC {type(e).__name__}: {e}", flush=True)
+            if not ok:
+                failures.append(("corpus", data))
+                fdir = os.path.join(REPO, "tests", "data", "fuzz_failures")
+                os.makedirs(fdir, exist_ok=True)
+                with open(os.path.join(fdir, f"fail_{len(failures)}_corpus.bin"), "wb") as f:
+                    f.write(data)
+                print(f"FAILURE at corpus path, len={len(data)} (saved)", flush=True)
         return new_structure
 
     for s in corpus:
