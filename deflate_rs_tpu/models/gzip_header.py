@@ -34,7 +34,12 @@ class GzBuilder:
         return self
 
     def with_extra(self, extra: bytes) -> "GzBuilder":
-        self.extra = bytes(extra)
+        extra = bytes(extra)
+        if len(extra) > 0xFFFF:
+            # XLEN is a 2-byte field (RFC 1952 §2.3.1); fail here rather
+            # than as an opaque OverflowError inside header_bytes().
+            raise ValueError(f"gzip extra field too long ({len(extra)} > 65535)")
+        self.extra = extra
         return self
 
     def with_filename(self, name: bytes | str) -> "GzBuilder":

@@ -151,6 +151,11 @@ def inflate_zlib(data: bytes) -> bytes:
     cmf, flg = data[0], data[1]
     if cmf & 0x0F != 8 or (cmf * 256 + flg) % 31 != 0:
         raise ValueError("bad zlib header")
+    if flg & 0x20:
+        # FDICT: the 4 bytes after the header are a dictionary id, not
+        # DEFLATE data.  Preset dictionaries are out of scope (the encoder
+        # never emits them) — reject cleanly instead of decoding garbage.
+        raise ValueError("zlib preset dictionary (FDICT) not supported")
     raw = inflate(data[2:-4])
     adler = int.from_bytes(data[-4:], "big")
     a, b = 1, 0

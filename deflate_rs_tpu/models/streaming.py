@@ -28,11 +28,9 @@ from .assembly import BitAssembler, splice_encoded_chunk
 from .deflate import FULL_EMIT, SMALL_EMIT, _resolve
 from .gzip_header import GzBuilder
 
-# An empty stored block emitted from a byte-aligned position: 3-bit header
-# (BFINAL=0, BTYPE=stored) + 5 pad bits + LEN=0 + NLEN=0xFFFF.
-SYNC_MARKER = b"\x00\x00\x00\xff\xff"
 # An empty final fixed block: 3-bit header 0b011 + 7-bit EOB code 0 (10 bits,
-# spliced at any phase by the assembler).
+# spliced at any phase by the assembler).  The sync-flush marker has a single
+# source of truth: BitAssembler.append_sync_marker (it is phase-dependent).
 FINAL_EMPTY_BLOCK = b"\x03\x00"
 
 
@@ -173,7 +171,12 @@ class DeflateEncoder:
         while self._outbuf:
             written = self._writer.write(memoryview(self._outbuf))
             if written is None:
-                written = len(self._outbuf)  # BufferedIOBase contract
+                # Only RawIOBase returns None, and there it means NOTHING
+                # was accepted (non-blocking backpressure) — never "all of
+                # it" (BufferedIOBase raises BlockingIOError instead of
+                # returning None).  Treating it as complete would silently
+                # drop the compressed tail.
+                written = 0
             if written == 0:
                 zero_streak += 1
                 if zero_streak >= MAX_ZERO_WRITES:
@@ -264,9 +267,13 @@ class DeflateEncoder:
         import sys
 
         try:
-            if sys.exc_info()[0] is not None:
+            if sys.exc_info()[0] is not None or sys.is_finalizing():
+                # Active exception: the panicking-guard analogue.  Interpreter
+                # shutdown: a device encode from a finalizer could hang.
                 return
-            if getattr(self, "_finished", True) is False and self._header_written:
+            if getattr(self, "_finished", True) is False:
+                # Like the reference's Drop, a never-written encoder still
+                # emits a valid EMPTY stream (header + final block + trailer).
                 self.finish()
         except Exception:
             pass

@@ -186,6 +186,7 @@ def compress_corpus(
     # thread only dispatches device work and splices finished batches, in
     # FIFO order.  Device execution is FIFO and JAX dispatch is async, so
     # batches i+1..i+queue_depth compute under the fetches of batch i.
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=2)
@@ -193,12 +194,23 @@ def compress_corpus(
 
     trace = os.environ.get("DEFLATE_TPU_TRACE_CORPUS") == "1"
     tstats = {"meta_s": 0.0, "words_s": 0.0, "words_mb": 0.0, "join_s": 0.0, "splice_s": 0.0}
+    tlock = threading.Lock()  # two fetch workers update tstats concurrently
+
+    def _tadd(key, v):
+        with tlock:
+            tstats[key] += v
+
+    def host_used_words(meta):
+        """Words the splicer reads per chunk — MUST mirror the device-side
+        compaction rule in _corpus_encoder_flat (zero for stored chunks,
+        ceil(data_bits/32) otherwise); the single host-side definition."""
+        return np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
 
     def fetch_batch(meta_d, words_d):
         t0 = time.perf_counter() if trace else 0.0
         meta = np.asarray(meta_d)  # (3, B) — the synchronizing fetch
         if trace:
-            tstats["meta_s"] += time.perf_counter() - t0
+            _tadd("meta_s", time.perf_counter() - t0)
         # Fetch only what the splicer reads — the host link is the e2e
         # bottleneck.  flat_mode: the device compacted every chunk's used
         # word prefix (zero for stored chunks) into one flat buffer; fetch
@@ -208,16 +220,16 @@ def compress_corpus(
         # transfer bytes for queue latency; skippable for measurement.
         if flat_mode:
             head_d, rest_d = words_d
-            used = np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
+            used = host_used_words(meta)
             need = int(used.sum())
             t0 = time.perf_counter() if trace else 0.0
             words = np.asarray(head_d)
             if need > words.shape[0]:
                 words = np.concatenate([words, np.asarray(rest_d)])
             if trace:
-                tstats["words_s"] += time.perf_counter() - t0
-                tstats["words_mb"] += words.nbytes / 1e6
-            return meta, words
+                _tadd("words_s", time.perf_counter() - t0)
+                _tadd("words_mb", words.nbytes / 1e6)
+            return meta, words, used
         if os.environ.get("DEFLATE_TPU_FETCH_SLICE", "1") == "0" or not packed:
             # packed=False feeds fixed-stride rows to native.assemble_chunks;
             # per-batch ragged slicing would give batches different widths.
@@ -231,34 +243,37 @@ def compress_corpus(
         t0 = time.perf_counter() if trace else 0.0
         words = np.asarray(src)
         if trace:
-            tstats["words_s"] += time.perf_counter() - t0
-            tstats["words_mb"] += words.nbytes / 1e6
-        return meta, words
+            _tadd("words_s", time.perf_counter() - t0)
+            _tadd("words_mb", words.nbytes / 1e6)
+        return meta, words, None
 
     def drain_one():
         group, ns_h, lasts_h, fut = fetch_q.popleft()
         t0 = time.perf_counter() if trace else 0.0
-        meta, words = fut.result()
+        meta, words, used = fut.result()
         if trace:
             tstats["join_s"] += time.perf_counter() - t0
             t0 = time.perf_counter()
         if flat_mode:
-            used = np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
             woff = np.cumsum(used) - used
             bwords = words.view(np.uint8)
             for i, off in enumerate(group):
+                stored = int(meta[1, i]) == C.BTYPE_STORED
                 splice_encoded_chunk(
                     asm, int(meta[1, i]), int(meta[2, i]),
                     bwords[4 * woff[i] : 4 * (woff[i] + used[i])],
-                    data[off : off + ns_h[i]], lasts_h[i],
+                    # The splicer reads the payload only for stored chunks;
+                    # skip the up-to-chunk-size bytes copy everywhere else.
+                    data[off : off + ns_h[i]] if stored else b"", lasts_h[i],
                 )
         else:
             words = words.view(np.uint8).reshape(len(ns_h), -1)
             for i, off in enumerate(group):
                 if packed:
+                    stored = int(meta[1, i]) == C.BTYPE_STORED
                     splice_encoded_chunk(
                         asm, int(meta[1, i]), int(meta[2, i]), words[i],
-                        data[off : off + ns_h[i]], lasts_h[i],
+                        data[off : off + ns_h[i]] if stored else b"", lasts_h[i],
                     )
                 else:
                     nbytes_all.append((int(meta[0, i]) + 7) // 8)

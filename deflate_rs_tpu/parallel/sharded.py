@@ -111,6 +111,13 @@ def assemble_host(out, n: int | None = None, *, packed: bool = False,
     from ..models.assembly import BitAssembler, splice_encoded_chunk
     from ..runtime import native
 
+    if hasattr(out["words"], "is_fully_addressable") and not out["words"].is_fully_addressable:
+        raise ValueError(
+            "assemble_host needs the whole output on this process; in a "
+            "multi-process runtime use assemble_local() — each process "
+            "assembles its own shards and pwrites them at the returned "
+            "global offset"
+        )
     words = np.asarray(out["words"])
     nbytes = np.asarray(out["nbytes"])
     B = words.shape[0] if n is None else n
@@ -138,3 +145,41 @@ def assemble_host(out, n: int | None = None, *, packed: bool = False,
             bool(is_lasts[i]) if is_lasts is not None else i == B - 1,
         )
     return asm.take_aligned()
+
+
+def assemble_local(out) -> tuple[bytes, int]:
+    """Assemble THIS process's shards of a sharded encode step's output.
+
+    The multi-process form of :func:`assemble_host` (which requires fully
+    addressable outputs): every process independently concatenates its own
+    chunks' byte-aligned payloads (sync-marker framing) and returns
+    ``(segment, global_byte_offset)`` — processes then pwrite their segments
+    at their offsets in parallel, never materializing the whole stream
+    anywhere.  Row ownership is validated against
+    :func:`..parallel.mesh.local_chunk_range`.
+    """
+    import numpy as np
+
+    from ..runtime import native
+    from .mesh import local_chunk_range
+
+    def local_rows(arr):
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0), (
+            shards[0].index[0].start or 0
+        )
+
+    words, first = local_rows(out["words"])
+    nbytes, _ = local_rows(out["nbytes"])
+    offsets, _ = local_rows(out["offsets"])
+    owned = local_chunk_range(out["words"].shape[0])
+    if (first, first + words.shape[0]) != (owned.start, owned.stop):
+        raise AssertionError(
+            f"shard placement {first}:{first + words.shape[0]} does not match "
+            f"local_chunk_range {owned.start}:{owned.stop}"
+        )
+    u8 = np.ascontiguousarray(words).view(np.uint8)
+    segment = native.assemble_chunks(u8, nbytes.astype(np.int64))
+    return segment, int(offsets[0]) if len(offsets) else 0

@@ -93,9 +93,23 @@ def child(coordinator: str, num_procs: int, pid: int, dev_per_proc: int) -> int:
         for i in range(B)
     )
     assert zlib.decompress(stream, wbits=-15) == data, "multi-host roundtrip failed"
+
+    # The production multi-host writeout path: each process assembles ONLY
+    # its addressable shards and gets the global byte offset to pwrite at.
+    # Validated against the allgathered stream: the segments must tile it.
+    from deflate_rs_tpu.parallel.sharded import assemble_local
+
+    seg, seg_off = assemble_local(out)
+    assert stream[seg_off : seg_off + len(seg)] == seg, (
+        f"[proc {pid}] local segment does not match its stream window"
+    )
+    expect_len = int(nbytes[pid * dev_per_proc : (pid + 1) * dev_per_proc].sum())
+    assert len(seg) == expect_len, (len(seg), expect_len)
+
     print(
         f"[proc {pid}] OK: {num_procs} processes x {dev_per_proc} devices, "
-        f"{len(data)} -> {len(stream)} bytes, offsets tiled, roundtrip passed",
+        f"{len(data)} -> {len(stream)} bytes, offsets tiled, roundtrip passed, "
+        f"local segment {len(seg)} B @ {seg_off}",
         flush=True,
     )
     return 0

