@@ -21,21 +21,22 @@ extern "C" {
 // Ordered chunk assembly: gather variable-length chunk payloads (each stored
 // in a fixed-stride words buffer) into a contiguous stream.
 // ---------------------------------------------------------------------------
-void assemble_chunks(uint8_t* dst,
-                     const uint8_t* words,   // [n_chunks * stride] bytes
-                     int64_t stride,         // bytes per chunk slot
-                     const int64_t* nbytes,  // [n_chunks]
-                     int64_t n_chunks) {
+// Returns 0 on success, -1 if any nbytes[i] is outside [0, stride] — in
+// which case nothing is written (a clamped copy would silently desync the
+// output offsets from the caller's cumulative-size bookkeeping).
+int64_t assemble_chunks(uint8_t* dst,
+                        const uint8_t* words,   // [n_chunks * stride] bytes
+                        int64_t stride,         // bytes per chunk slot
+                        const int64_t* nbytes,  // [n_chunks]
+                        int64_t n_chunks) {
+    for (int64_t i = 0; i < n_chunks; ++i)
+        if (nbytes[i] < 0 || nbytes[i] > stride) return -1;
     int64_t off = 0;
     for (int64_t i = 0; i < n_chunks; ++i) {
-        // Clamp to the slot stride: a byte count beyond it would read out of
-        // bounds of the words array (callers validate counts; this is the
-        // last line of defence).
-        int64_t n = nbytes[i] < stride ? nbytes[i] : stride;
-        if (n < 0) n = 0;
-        std::memcpy(dst + off, words + i * stride, (size_t)n);
+        std::memcpy(dst + off, words + i * stride, (size_t)nbytes[i]);
         off += nbytes[i];
     }
+    return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -69,7 +70,6 @@ int64_t bit_append(uint8_t* dst, int64_t dst_bits,
 // handling here (callers use the standard init/final xor).
 // ---------------------------------------------------------------------------
 static uint32_t crc_tab[8][256];
-static bool crc_init_done = false;
 
 static void crc_init() {
     for (uint32_t b = 0; b < 256; ++b) {
@@ -80,11 +80,14 @@ static void crc_init() {
     for (uint32_t b = 0; b < 256; ++b)
         for (int t = 1; t < 8; ++t)
             crc_tab[t][b] = (crc_tab[t - 1][b] >> 8) ^ crc_tab[0][crc_tab[t - 1][b] & 0xFF];
-    crc_init_done = true;
 }
 
+// Tables are built once by the dynamic loader (dlopen runs static
+// constructors before returning, single-threaded) — no lazy-init flag, no
+// data race when two threads make their first crc32_raw call concurrently.
+static struct CrcTablesInit { CrcTablesInit() { crc_init(); } } crc_tables_init_;
+
 uint32_t crc32_raw(const uint8_t* data, int64_t len, uint32_t crc) {
-    if (!crc_init_done) crc_init();
     const uint8_t* p = data;
     while (len >= 8) {
         crc ^= (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
