@@ -17,7 +17,7 @@ a TPU, so both are reformulated as parallel reductions:
   matrices are compile-time constants.
 
 Per-chunk results are combined across chunks/devices with the same identities
-(host side: :func:`adler32_combine`, :func:`crc32_combine`), exactly the
+(host side: :func:`adler32_combine`, :func:`crc32_combine_raw`), exactly the
 "segmented-scan reduction + log-step combine" called for by the build plan.
 """
 
@@ -170,17 +170,23 @@ def adler32_parts_device(data, n):
     P = data.shape[0]
     idx = jnp.arange(P, dtype=jnp.int32)
     b = jnp.where(idx < n, data, 0).astype(jnp.int32)
-    s1 = jnp.sum(b) % ADLER_MOD
 
-    # Range-split the weights so every partial stays inside int32.
+    def seg_mod_sum(x, seg):
+        """sum(x) mod ADLER_MOD without int32 overflow: reduce in segments
+        (caller guarantees a segment sum fits int32), mod each, then sum the
+        <= P/seg residues — int64 is unavailable without jax_enable_x64."""
+        pad = (-x.shape[0]) % seg
+        xs = jnp.pad(x, (0, pad)).reshape(-1, seg)
+        return jnp.sum(jnp.sum(xs, axis=1) % ADLER_MOD) % ADLER_MOD
+
+    # Range-split the weights so every PARTIAL stays inside int32 for any
+    # chunk size up to ~32 MiB (q <= P/4096, so q*b <= 255*P/4096 per term;
+    # a 512-term segment sum <= 512*255*P/4096 < 2**31 for P < 2**25).
+    s1 = seg_mod_sum(b, 4096)  # plain sum would overflow int32 past ~8 MiB
     w = jnp.maximum(n - idx, 0)
     q, r = w // 4096, w % 4096
-    sum_q = jnp.sum(q * b) % ADLER_MOD  # q <= 32, per-term <= 8160
-    # r*b <= ~1.0e6 per term: reduce in segments of 512 then mod.
-    seg = 512
-    pad = (-P) % seg
-    rb = jnp.pad(r * b, (0, pad)).reshape(-1, seg)
-    sum_r = jnp.sum(jnp.sum(rb, axis=1) % ADLER_MOD) % ADLER_MOD
+    sum_q = seg_mod_sum(q * b, 512)
+    sum_r = seg_mod_sum(r * b, 512)  # r*b <= ~1.0e6 per term
     s2 = ((4096 % ADLER_MOD) * sum_q + sum_r) % ADLER_MOD
     return s1.astype(jnp.uint32), s2.astype(jnp.uint32)
 

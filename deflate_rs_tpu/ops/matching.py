@@ -278,14 +278,8 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int,
             jnp.stack(spay) if spay else jnp.zeros((0, N), jnp.uint32),
             hstart, n_total, K=num_checks, init_lcp=4 * probe_words,
         )
-        score_pos = jax.lax.sort([spos, best], num_keys=1, is_stable=False)[1]
-        blen = jnp.minimum(score_pos >> 16, limit)
-        bdist = jnp.where(score_pos > 0, WINDOW_SIZE + 1 - (score_pos & 0xFFFF), 0)
-        best_len = chain_extend(blen, bdist, limit, N)
-        good = best_len >= 3
-        return jnp.where(good, best_len, 0), jnp.where(good, bdist, 0)
-
-    best = sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks, probe_words)
+    else:
+        best = sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks, probe_words)
 
     # ------------------------------------------------ unsort + chain extend
     # Un-permute via a second sort keyed by position (see find_matches_hash).

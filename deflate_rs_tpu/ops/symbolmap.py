@@ -64,7 +64,15 @@ def table_lookup(table, idx, num: int):
     ~7x faster than an XLA gather on TPU (gathers are scalar-bound).  Exact
     for table values < 2**24 (float32 integers).  ``table`` may be traced
     (per-block Huffman codes) or a host constant.
+
+    Precision is pinned to HIGHEST: the exactness contract requires full
+    float32 multiply-accumulate.  A backend whose DEFAULT lowers f32 dots
+    to single-pass bf16 would silently round >8-significand-bit table
+    values (packed Huffman entries reach ~2**21) into corrupt bitstreams.
     """
     oh = (idx[:, None] == jnp.arange(num)[None, :]).astype(jnp.float32)
-    res = jnp.dot(oh, table.astype(jnp.float32), preferred_element_type=jnp.float32)
+    res = jnp.dot(
+        oh, table.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     return res.astype(jnp.int32)

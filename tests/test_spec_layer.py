@@ -108,6 +108,17 @@ def test_adler32_device(n):
     assert ck.adler32_value(state) == zlib.adler32(data.tobytes())
 
 
+def test_adler32_device_large_buffer_no_overflow():
+    """Regression: the weighted s2 sum overflowed int32 for buffers past
+    ~262 KB of high bytes (the q*b partial); segments-with-mod reduction
+    must stay exact at 1 MiB of 0xFF."""
+    P = 1 << 20
+    buf = np.full(P, 0xFF, dtype=np.uint8)
+    s1, s2 = ck.adler32_parts_device(jnp.asarray(buf), jnp.int32(P))
+    state = ck.adler32_combine(ck.ADLER_INIT, int(s1), int(s2), P)
+    assert ck.adler32_value(state) == zlib.adler32(buf.tobytes())
+
+
 def test_adler32_combine_stream():
     rng = np.random.default_rng(7)
     chunks = [rng.integers(0, 256, size=m, dtype=np.uint8) for m in (1000, 3, 65536, 777)]
