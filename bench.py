@@ -108,13 +108,14 @@ def main():
 
     data = build_corpus(total_mb << 20)
     n = len(data)
+    qd = int(os.environ.get("BENCH_QUEUE_DEPTH", "3"))
 
     # Warmup / compile (on a distinct prefix so chunk shapes match).
     warm = compress_corpus(data[: chunk * batch], batch_size=batch, chunk_size=chunk)
     assert zlib.decompress(warm.deflate, wbits=-15) == data[: chunk * batch]
 
     t0 = time.perf_counter()
-    res = compress_corpus(data, batch_size=batch, chunk_size=chunk)
+    res = compress_corpus(data, batch_size=batch, chunk_size=chunk, queue_depth=qd)
     t1 = time.perf_counter()
 
     secs = t1 - t0
