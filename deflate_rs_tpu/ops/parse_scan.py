@@ -1,6 +1,6 @@
 """Pallas TPU kernel: lock-step segmented parse scan.
 
-Replaces the serial scalar-core parse walk (parse_walk.py) with a two-phase
+Replaces round 1's serial scalar-core parse walk (removed) with a two-phase
 vector formulation that computes the SAME parse (the orbit of position 0
 under the jump table — the TPU reformulation of the reference's per-byte
 lazy/greedy loop, lz77.rs:305-486):
@@ -22,7 +22,7 @@ few steps) marks the pre-convergence positions (value 2 in the token
 buffer) and records the convergence row; hypothesis tokens before it are
 discarded by the caller.  The result is bit-for-bit the sequential parse.
 
-Layout rules as in parse_walk.py: (rows, 128) arrays, aligned row loads and
+Layout rules (Mosaic): (rows, 128) arrays, aligned row loads and
 stores, roll-based lane extraction for the (short) scalar fix-up walks.
 """
 
