@@ -131,6 +131,12 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=200, help="0 = unbounded")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-len", type=int, default=300_000)
+    ap.add_argument(
+        "--presets", default="default,fast",
+        help="comma list of CompressionOptions preset names to roundtrip "
+        "(the reference's AFL target uses Default+Fast; pass "
+        "high,rle,huffman_only to hammer the exact-split-scoring paths)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -143,7 +149,10 @@ def main() -> int:
 
     from deflate_rs_tpu.compression_options import CompressionOptions
 
-    presets = {"default": CompressionOptions.default(), "fast": CompressionOptions.fast()}
+    presets = {
+        name: getattr(CompressionOptions, name)()
+        for name in args.presets.split(",")
+    }
     rng = np.random.default_rng(args.seed)
     corpus = seeds(rng)
     seen: set = set()
@@ -181,7 +190,7 @@ def main() -> int:
 
             bs = [2, 3, 5][corpus_iter[0] // 8 % 3]
             try:
-                res = compress_corpus(data, presets["default"], batch_size=bs)
+                res = compress_corpus(data, next(iter(presets.values())), batch_size=bs)
                 ok = zlib.decompress(res.deflate, wbits=-15) == data
             except Exception as e:  # noqa: BLE001
                 ok = False
