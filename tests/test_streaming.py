@@ -34,7 +34,12 @@ def stream_compress(data, chunk_size, cls=DeflateEncoder, **kw):
     return sink.getvalue()
 
 
-@pytest.mark.parametrize("chunk_size", [1_000, 32_768, 65_536, 65_537, 131_072, 500_000])
+# Includes the reference's own split list (lib.rs:408-433): 50, 400, 32768,
+# BUFFER_SIZE == 2*32768+258 == 65794, 50000.
+@pytest.mark.parametrize(
+    "chunk_size",
+    [50, 400, 1_000, 32_768, 50_000, 65_536, 65_537, 65_794, 131_072, 500_000],
+)
 def test_chunk_determinism(pg11, chunk_size):
     """Streaming output must be byte-identical to one-shot (lib.rs:408-433)."""
     one_shot = dt.deflate_bytes(pg11)
