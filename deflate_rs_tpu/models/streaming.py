@@ -25,7 +25,8 @@ from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
 from ..runtime import native
 from ..utils.debug import ByteAccountant, enabled as debug_enabled
 from .assembly import BitAssembler, splice_encoded_chunk
-from .deflate import FULL_EMIT, SMALL_EMIT, _resolve
+from . import deflate as _deflate  # chunk sizes read at CALL time (see feed)
+from .deflate import _resolve
 from .gzip_header import GzBuilder
 
 # An empty final fixed block: 3-bit header 0b011 + 7-bit EOB code 0 (10 bits,
@@ -52,6 +53,12 @@ class _DeflateCore:
         self.history = b""
         self.total_in = 0
         self.started = False  # any chunk emitted yet?
+        # Device-resident copy of the last HALO history bytes, carried
+        # between BATCHED encodes so consecutive feed() calls skip the
+        # 32 KiB history re-upload.  None = stale (a host-path _encode ran,
+        # or nothing encoded yet); the next batched encode re-uploads from
+        # self.history.
+        self._tail_dev = None
         # Running checksums over consumed bytes, updated incrementally on the
         # host (native C, runtime/native.py) — the device partial-combine
         # identities remain available for the sharded pipeline.
@@ -61,11 +68,12 @@ class _DeflateCore:
         # arbitrary bit phase (no per-chunk sync markers), so streaming output
         # is byte-identical to the one-shot packed stream.  The partial tail
         # byte lives here between write() calls.
-        self.asm = BitAssembler(FULL_EMIT + (FULL_EMIT >> 3) + 4096)
+        self.asm = BitAssembler(_deflate.FULL_EMIT + (_deflate.FULL_EMIT >> 3) + 4096)
         self.accountant = ByteAccountant() if debug_enabled() else None
 
     def _encode(self, payload: bytes, is_last: bool) -> None:
         """Encode one chunk and splice it into the assembler."""
+        SMALL_EMIT, FULL_EMIT = _deflate.SMALL_EMIT, _deflate.FULL_EMIT
         emit = SMALL_EMIT if (not self.started and not payload[SMALL_EMIT:] and is_last) else FULL_EMIT
         encoder = get_chunk_encoder(self.options, emit, with_checksums=False)
         buf = np.zeros(HALO + emit + PAD, dtype=np.uint8)
@@ -88,6 +96,77 @@ class _DeflateCore:
         if self.accountant is not None:
             self.accountant.account_chunk(len(payload), emitted, is_last)
         self.history = (self.history + payload)[-HALO:]
+        self._tail_dev = None  # device tail no longer matches self.history
+        self.started = True
+
+    # Batched-dispatch group sizes, largest first.  Each size is one compiled
+    # program shape (shared with parallel/corpus.py's flat encoder cache);
+    # a backlog of complete chunks is consumed greedily: 13 -> 8 + 4 + 1.
+    _GROUP_LADDER = (16, 8, 4, 2, 1)
+
+    def _encode_batch(self, nfull: int, E: int) -> None:
+        """Encode ``nfull`` complete chunks from the backlog in vmapped
+        device dispatches (the corpus engine's flat-upload encoder), splicing
+        in order.  One large write() thus pays a handful of batched device
+        programs instead of ``nfull`` synchronous single-chunk round trips
+        (the round-2 streaming path was 4x slower than the corpus engine on
+        the same chip for exactly that reason).
+
+        All dispatches are issued before any result is fetched: JAX dispatch
+        is asynchronous and device execution is FIFO, so the host's fetch +
+        bit-splice of group i overlaps the device encode of groups i+1..
+        """
+        import jax
+
+        from ..parallel.corpus import _corpus_encoder_flat
+
+        inflight = []
+        hist0 = len(self.history)
+        done = 0
+        while done < nfull:
+            rest = nfull - done
+            g = next(s for s in self._GROUP_LADDER if s <= rest)
+            payload = bytes(self.pending[: g * E])
+            del self.pending[: g * E]
+            hist = np.full(g, HALO, np.int32)  # E >= HALO: full history after chunk 0
+            hist[0] = min(hist0 + done * E, HALO)
+            ns = np.full(g, E, np.int32)
+            lasts = np.zeros(g, bool)
+            if self._tail_dev is None:
+                tail = np.zeros(HALO, np.uint8)
+                h = self.history[-HALO:]
+                if h:
+                    tail[HALO - len(h):] = np.frombuffer(h, np.uint8)
+                self._tail_dev = jax.device_put(tail)
+            enc = _corpus_encoder_flat(self.options, E, g)
+            meta_d, head_d, rest_d, self._tail_dev = enc(
+                jax.device_put(np.frombuffer(payload, np.uint8)),
+                self._tail_dev, hist, ns, lasts,
+            )
+            inflight.append((g, payload, meta_d, head_d, rest_d))
+            self.history = payload[-HALO:]
+            done += g
+        for g, payload, meta_d, head_d, rest_d in inflight:
+            meta = np.asarray(meta_d)  # (3, g) — the synchronizing fetch
+            # Used-word rule mirrors the device-side compaction in
+            # _corpus_encoder_flat: zero words for stored chunks (re-emitted
+            # from the raw payload), ceil(data_bits/32) otherwise.
+            used = np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
+            need = int(used.sum())
+            words = np.asarray(head_d)
+            if need > words.shape[0]:
+                words = np.concatenate([words, np.asarray(rest_d)])
+            woff = np.cumsum(used) - used
+            bwords = words.view(np.uint8)
+            for i in range(g):
+                stored = int(meta[1, i]) == C.BTYPE_STORED
+                emitted = splice_encoded_chunk(
+                    self.asm, int(meta[1, i]), int(meta[2, i]),
+                    bwords[4 * woff[i]: 4 * (woff[i] + used[i])],
+                    payload[i * E: (i + 1) * E] if stored else b"", False,
+                )
+                if self.accountant is not None:
+                    self.accountant.account_chunk(E, emitted, False)
         self.started = True
 
     def feed(self, data) -> list[bytes]:
@@ -103,10 +182,20 @@ class _DeflateCore:
         self.total_in += len(data)
         if self.accountant is not None:
             self.accountant.consume(len(data))
-        while len(self.pending) > FULL_EMIT:
-            payload = bytes(self.pending[:FULL_EMIT])
-            del self.pending[:FULL_EMIT]
-            self._encode(payload, is_last=False)
+        # Complete chunks ready to encode, always holding one byte back: a
+        # chunk is encoded as non-final only when data provably follows it
+        # (the chunk-determinism invariant).  FULL_EMIT is read at call time
+        # (not bound at import) so a chunk-size change or test monkeypatch
+        # keeps streaming and one-shot output in lockstep.
+        E = _deflate.FULL_EMIT
+        nfull = (len(self.pending) - 1) // E if self.pending else 0
+        if nfull >= 2 and E >= HALO:
+            self._encode_batch(nfull, E)
+        else:
+            while len(self.pending) > E:
+                payload = bytes(self.pending[:E])
+                del self.pending[:E]
+                self._encode(payload, is_last=False)
         return [self.asm.drain_whole_bytes()]
 
     def sync_flush(self) -> list[bytes]:
@@ -264,9 +353,8 @@ class DeflateEncoder:
         an exception is propagating (the ``thread::panicking()`` analogue):
         an encoder abandoned during unwinding must not write a compressed
         tail into a writer the error handler may be repurposing."""
-        import sys
-
         try:
+            import sys  # inside try: fails (harmlessly) at interpreter teardown
             if sys.exc_info()[0] is not None or sys.is_finalizing():
                 # Active exception: the panicking-guard analogue.  Interpreter
                 # shutdown: a device encode from a finalizer could hang.

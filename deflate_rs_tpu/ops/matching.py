@@ -164,12 +164,7 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
 
 def sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks: int,
                 probe_words: int):
-    """XLA formulation of the suffix-order LCP + K-deep running-min scan.
-
-    The CPU/reference path; the TPU path runs the fused Pallas kernel
-    (sa_scan.py) over the same sorted operands, and must produce identical
-    packed scores (tested in tests/test_sa_scan.py).
-    """
+    """Suffix-order LCP + K-deep running-min scan (both backends)."""
     NKEY = len(skeys)
     N = spos.shape[0]
 
@@ -263,23 +258,11 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int,
     ops = jax.lax.sort(keys + [idx] + pay, num_keys=NKEY, is_stable=True)
     skeys, spos, spay = list(ops[:NKEY]), ops[NKEY], list(ops[NKEY + 1 :])
 
-    import os
-
-    if jax.default_backend() == "tpu" and os.environ.get("DEFLATE_TPU_SA_KERNEL") == "1":
-        # Fused VMEM-resident kernel for the LCP + K-scan (sa_scan.py),
-        # verified bit-identical to the XLA scan on compiled Mosaic.  OFF by
-        # default: measured 0.640 vs 0.567 ms/chunk for the XLA scan (the
-        # per-step roll pair costs more than XLA's dynamic-slice shifts),
-        # and the device time is dominated by the content-key sort anyway.
-        from .sa_scan import sa_scan
-
-        best = sa_scan(
-            jnp.stack(skeys), spos,
-            jnp.stack(spay) if spay else jnp.zeros((0, N), jnp.uint32),
-            hstart, n_total, K=num_checks, init_lcp=4 * probe_words,
-        )
-    else:
-        best = sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks, probe_words)
+    # A fused Pallas kernel for this scan was built and measured in round 2
+    # (0.640 vs 0.567 ms/chunk for the XLA formulation: the per-step roll
+    # pair costs more than XLA's dynamic-slice shifts) and deleted — a
+    # falsified experiment does not ride along disabled.
+    best = sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks, probe_words)
 
     # ------------------------------------------------ unsort + chain extend
     # Un-permute via a second sort keyed by position (see find_matches_hash).

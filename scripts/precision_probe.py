@@ -30,15 +30,23 @@ def main():
     B, E = 16, 65536
     rng = np.random.default_rng(0)
     # Worst-case packed Huffman entries: full 21-bit values.
-    tab = rng.integers(0, 1 << 21, (286,), dtype=np.int32)
+    tab_np = rng.integers(0, 1 << 21, (286,), dtype=np.int32)
+    # The table rides as a TRACED argument (device_put + function parameter),
+    # matching production: chunk_encode calls table_lookup with per-block
+    # Huffman tables computed on device.  A host-constant table would let XLA
+    # lower the dot differently (constant folding / different fusion), making
+    # the probe unrepresentative (ADVICE.md round 2).
+    tab = jax.device_put(tab_np)
     idx = jax.device_put(rng.integers(0, 286, (B, E), dtype=np.int32))
 
     for name, prec in [("DEFAULT", jax.lax.Precision.DEFAULT),
                        ("HIGHEST", jax.lax.Precision.HIGHEST)]:
-        fn = jax.vmap(functools.partial(lookup, tab, num=286, precision=prec))
-        out = np.asarray(jax.jit(fn)(idx))
-        exact = bool((out == tab[np.asarray(idx)]).all())
-        t = sync_time(jax.jit(fn), idx, iters=16)
+        fn = jax.vmap(
+            functools.partial(lookup, num=286, precision=prec), in_axes=(None, 0)
+        )
+        out = np.asarray(jax.jit(fn)(tab, idx))
+        exact = bool((out == tab_np[np.asarray(idx)]).all())
+        t = sync_time(jax.jit(fn), tab, idx, iters=16)
         print(f"{name:8s} exact={exact}  {t*1e3/B:.4f} ms/chunk-eq (one 65536x286 lookup)")
 
 
