@@ -72,6 +72,13 @@ class CompressionOptions:
     # (see exact_split_scoring), "exact"/"proxy" pin it.  Internal knob —
     # not part of the reference-mirroring preset surface.
     split_scoring: str = "auto"
+    # Number of content words used as SORT KEYS in the suffix-order matcher
+    # (0 = per-preset default).  Sort cost on this chip is driven by key
+    # count, not operand count (scripts/r3_probe.py: nk=1 0.068 vs nk=4
+    # 0.167 ms/chunk): fewer keys sort only a shorter content prefix and
+    # leave ties in position (recency) order, trading ratio for speed.
+    # Internal knob — not part of the reference-mirroring preset surface.
+    sort_nkey: int = 0
 
     @staticmethod
     def default() -> "CompressionOptions":
@@ -206,6 +213,7 @@ class CompressionOptions:
             self.matcher_algo,
             self.num_candidates,
             self.probe_words,
+            self.sort_nkey,
             self.lazy,
             min(self.lazy_if_less_than, 258),
             self.special.value,

@@ -37,7 +37,7 @@ from .checksum import adler32_parts_device, crc32_raw_device
 from .code_lengths import CL_CAP, encode_code_lengths
 from .matching import find_matches, find_matches_hash, find_rle_matches
 from .symbolmap import dist_code, histogram_onehot, length_code, table_lookup
-from .package_merge import package_merge_lengths
+from .package_merge import package_merge_rows
 from .parse import build_jumps, reachable
 from .parse_scan import parse_scan
 
@@ -152,11 +152,16 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # ------------------------------------------------------------------ LZ77
     mode = options.matcher_mode
     if mode == "hash":
-        matcher = find_matches if options.matcher_algo == "sa" else find_matches_hash
-        best_len, best_dist = matcher(
-            buf, N, n_total, hstart, options.num_candidates,
-            probe_words=options.probe_words,
-        )
+        if options.matcher_algo == "sa":
+            best_len, best_dist = find_matches(
+                buf, N, n_total, hstart, options.num_candidates,
+                probe_words=options.probe_words, nkey=options.sort_nkey,
+            )
+        else:
+            best_len, best_dist = find_matches_hash(
+                buf, N, n_total, hstart, options.num_candidates,
+                probe_words=options.probe_words,
+            )
     elif mode == "rle":
         best_len, best_dist = find_rle_matches(buf, n_total, hstart, N)
     else:  # huffman_only
@@ -266,7 +271,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # Header proxy: HLIT/HDIST/HCLEN + ~19 clen slots + ~4 bits per used
     # symbol + ~8 bits per zero run in the length array.
     proxy_hdr_r = 14 + 57 + 4 * (lu + du) + 8 * (lz + dz)
-    pm15 = functools.partial(package_merge_lengths, max_len=C.MAX_CODE_LENGTH)
+    pm15 = functools.partial(package_merge_rows, max_len=C.MAX_CODE_LENGTH)
     R_ = len(RANGES)
     if options.exact_split_scoring:
         # High preset: exact optimal token bits for every range (the full
@@ -276,7 +281,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             [d_freq_r, jnp.zeros((R_, C.NUM_USED_LITLEN - C.NUM_DIST_SYMBOLS), jnp.int32)],
             axis=1,
         )
-        ld_len_r = jax.vmap(pm15)(jnp.concatenate([l_freq_r, d_freq_pad_r], axis=0))
+        ld_len_r = pm15(jnp.concatenate([l_freq_r, d_freq_pad_r], axis=0))
         l_len_r286 = ld_len_r[:R_]
         d_len_r = ld_len_r[R_:, : C.NUM_DIST_SYMBOLS]
         dyn_tok_bits_r = jnp.sum(
@@ -308,9 +313,9 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             ),
         )
         rle_x = jax.vmap(encode_code_lengths)(cl_x, hlit_x + hdist_x)
-        clen_len_x = jax.vmap(
-            functools.partial(package_merge_lengths, max_len=C.MAX_CLEN_CODE_LENGTH)
-        )(rle_x["freq"])
+        clen_len_x = package_merge_rows(
+            rle_x["freq"], max_len=C.MAX_CLEN_CODE_LENGTH
+        )
         hclen_x = jnp.clip(
             jnp.max(
                 jnp.where(clen_len_x[:, C.CLEN_ORDER] > 0, jnp.arange(19)[None, :], -1), axis=1
@@ -386,7 +391,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             [d_freq_s, jnp.zeros((NS, C.NUM_USED_LITLEN - C.NUM_DIST_SYMBOLS), jnp.int32)],
             axis=1,
         )
-        ld_len = jax.vmap(pm15)(jnp.concatenate([l_freq_s, d_freq_pad], axis=0))
+        ld_len = pm15(jnp.concatenate([l_freq_s, d_freq_pad], axis=0))
         l_len_s286 = ld_len[:NS]  # [NS, 286]
         d_len_s = ld_len[NS:, : C.NUM_DIST_SYMBOLS]  # [NS, 30]
 
@@ -415,9 +420,9 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             ),
         )
         rle_s = jax.vmap(encode_code_lengths)(cl_s, hlit_s + hdist_s)
-        clen_len_s = jax.vmap(
-            functools.partial(package_merge_lengths, max_len=C.MAX_CLEN_CODE_LENGTH)
-        )(rle_s["freq"])  # [NS, 19]
+        clen_len_s = package_merge_rows(
+            rle_s["freq"], max_len=C.MAX_CLEN_CODE_LENGTH
+        )  # [NS, 19]
         hclen_s = jnp.clip(
             jnp.max(
                 jnp.where(clen_len_s[:, C.CLEN_ORDER] > 0, jnp.arange(19)[None, :], -1), axis=1

@@ -210,7 +210,7 @@ def sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks: int,
 
 
 def find_matches(buf, N: int, n_total, hstart, num_checks: int,
-                 probe_words: int = PROBE_WORDS):
+                 probe_words: int = PROBE_WORDS, nkey: int = 0):
     """Best (length, distance) per position via a bounded suffix sort.
 
     The round-2 matcher: instead of sorting by 3-byte *hash* and probing K
@@ -245,7 +245,14 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int,
     limit = jnp.clip(n_total - idx, 0, MAX_MATCH)
     valid = (idx >= hstart) & (idx <= n_total - 3)
 
-    NKEY = min(4, probe_words)
+    # Key count: sort cost on TPU is driven by the number of SORT KEYS, not
+    # total operands (scripts/r3_probe.py) — nkey < 4 sorts a shorter exact
+    # content prefix, leaving in-tie order by position (most recent last),
+    # and the LCP chain below measures through payload words regardless.
+    # Correctness is unaffected (the running-min LCP is a valid lower bound
+    # in ANY row order; see the invalid-row note below), only which
+    # candidates end up adjacent — i.e. ratio.
+    NKEY = min(nkey, 4, probe_words) if nkey else min(4, probe_words)
     d = buf.astype(jnp.uint32)
     be = (d[:-3] << 24) | (d[1:-2] << 16) | (d[2:-1] << 8) | d[3:]
     keys = [

@@ -17,9 +17,53 @@ cheapest symbol is the number of levels whose selected-leaf count exceeds r.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 _BIG = 1 << 29  # value sentinel for padding; sums are clamped below it
+
+
+def _pm_rows_impl(freqs, max_len: int):
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get(
+        "DEFLATE_TPU_PM_KERNEL", "1"
+    ) != "0":
+        # One Mosaic program for all rows and levels (pm_kernel.py) instead
+        # of the dispatch-bound XLA level chain.  Env toggle for A/B timing.
+        from .pm_kernel import package_merge_rows_tpu
+
+        return package_merge_rows_tpu(freqs, max_len)
+    return jax.vmap(functools.partial(package_merge_lengths, max_len=max_len))(freqs)
+
+
+@functools.lru_cache(maxsize=None)
+def _pm_rows_fn(max_len: int):
+    @jax.custom_batching.custom_vmap
+    def pm_rows(freqs):
+        return _pm_rows_impl(freqs, max_len)
+
+    @pm_rows.def_vmap
+    def pm_rows_vmap(axis_size, in_batched, freqs):
+        (fb,) = in_batched
+        if not fb:
+            freqs = jnp.broadcast_to(freqs, (axis_size,) + freqs.shape)
+        B, R, A = freqs.shape
+        out = _pm_rows_impl(freqs.reshape(B * R, A), max_len)
+        return out.reshape(B, R, A), True
+
+    return pm_rows
+
+
+def package_merge_rows(freqs, max_len: int):
+    """Batched :func:`package_merge_lengths` over ``freqs: int32[R, A]``.
+
+    vmap-aware: an outer batch dimension is collapsed into the row axis, so
+    the TPU kernel sees one flat row batch per device program.
+    """
+    return _pm_rows_fn(max_len)(freqs)
 
 
 def package_merge_lengths(freqs, max_len: int):

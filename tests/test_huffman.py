@@ -200,3 +200,35 @@ def test_reference_optimality_vector_7701():
     cost, lengths = check(freqs, 15, expect_optimal=False)
     assert cost == 7701
     assert int(lengths.max()) <= 15
+
+
+# ---------------------------------------------------------------------------
+# Pallas package-merge kernel (ops/pm_kernel.py): bit-identical to the XLA
+# path on the same rows.  Interpret mode on CPU; the compiled-Mosaic identity
+# is re-checked on hardware by scripts/tpu_validate.py.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("max_len,A", [(15, 286), (7, 19), (15, 30)])
+def test_pm_kernel_matches_xla(max_len, A):
+    from deflate_rs_tpu.ops.pm_kernel import package_merge_rows_tpu
+
+    rng = np.random.default_rng(max_len * 1000 + A)
+    R = 130  # crosses one lane-tile boundary
+    freqs = rng.integers(0, 1 << 20, (R, A)).astype(np.int32)
+    freqs[rng.random((R, A)) < 0.5] = 0
+    freqs[0] = 0  # empty alphabet row
+    freqs[1] = 0
+    freqs[1, 3] = 7  # single-symbol row
+    freqs[2] = 0
+    freqs[2, 0] = 1
+    freqs[2, A - 1] = 1  # two-symbol row
+    freqs[3] = 1  # all-ones (deepest tree pressure)
+
+    want = np.stack([
+        np.asarray(package_merge_lengths(jnp.asarray(f), max_len)) for f in freqs
+    ])
+    got = np.asarray(
+        package_merge_rows_tpu(jnp.asarray(freqs), max_len, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)

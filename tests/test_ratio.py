@@ -52,8 +52,10 @@ def test_issue18_bin_vs_zlib():
         data = f.read()
     ours = len(dt.deflate_bytes(data))
     theirs = len(zlib.compress(data, 6)) - 6
-    # Allow a small slack on this binary regression input; track closely.
-    assert ours <= theirs * 1.02, f"{ours} vs zlib-6 {theirs}"
+    # Round 2 carried a 1.02x slack here; the matcher/bitpack fixes that
+    # landed late in round 2 closed the gap (measured 33286 vs 33337), so
+    # the invariant is back to the unconditional <= the BASELINE demands.
+    assert ours <= theirs, f"{ours} vs zlib-6 {theirs}"
 
 
 # Tracked absolute sizes on pg11 (raw DEFLATE, packed framing).  These are
