@@ -65,6 +65,99 @@ def build_cases(data_dir):
     return cases
 
 
+def device_decode_sweep(platform: str) -> int:
+    """Encode -> DEVICE decode -> compare, 30+ cases.
+
+    Case capacities are tiered (one compile per tier); the decoder is a
+    validator, so shapes stay modest.  Direction 2 (zlib-produced streams)
+    checks the decoder independently of our encoder.
+    """
+    import zlib as _zlib
+
+    import deflate_rs_tpu as dt
+    from deflate_rs_tpu.compression_options import CompressionOptions
+    from deflate_rs_tpu.ops.inflate_device import inflate_device
+
+    data_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "data"
+    )
+    rng = np.random.default_rng(7)
+    with open(os.path.join(data_dir, "pg11.txt"), "rb") as f:
+        text = f.read()
+    with open(os.path.join(data_dir, "issue_18_201911.bin"), "rb") as f:
+        issue18 = f.read()
+
+    contents = {
+        "text16k": text[:16384],
+        "text_odd": text[: 16384 + 777],
+        "text_2chunk": text[:80000],  # crosses a chunk seam (sync marker)
+        "binary": issue18,
+        "random": rng.integers(0, 256, 30000, dtype=np.uint8).tobytes(),  # stored
+        "zeros": b"\x00" * 40000,  # RLE runs
+        "period7": b"exampl7" * 3000,
+        "small_alpha": rng.integers(0, 4, 30000, dtype=np.uint8).tobytes(),
+        "tiny": b"Deflate late",  # fixed block
+        "empty": b"",
+    }
+    presets = {
+        "default": CompressionOptions.default(),
+        "fast": CompressionOptions.fast(),
+        "high": CompressionOptions.high(),
+        "rle": CompressionOptions.rle(),
+        "huffman_only": CompressionOptions.huffman_only(),
+    }
+
+    def cap(n):
+        return max(4096, (n + 16383) & ~16383)
+
+    failures, n_run = [], 0
+    t_start = time.perf_counter()
+    # Direction 1: our encoder's streams, presets x a content subset.
+    plan = [(p, c) for p in presets for c in
+            ("text16k", "random", "zeros", "tiny")]
+    plan += [("default", c) for c in contents if c not in
+             ("text16k", "random", "zeros", "tiny")]
+    for pname, cname in plan:
+        data = contents[cname]
+        n_run += 1
+        t0 = time.perf_counter()
+        try:
+            stream = dt.deflate_bytes_conf(data, presets[pname])
+            ok = inflate_device(stream, cap(len(data))) == data
+            status = "PASS" if ok else "FAIL"
+        except Exception as e:  # noqa: BLE001
+            status, ok = f"ERROR {type(e).__name__}: {e}", False
+        print(f"{status:8s} dec<-{pname:13s} {cname:12s} {len(data):7d}"
+              f"  {time.perf_counter()-t0:6.2f}s", flush=True)
+        if not ok:
+            failures.append((pname, cname))
+    # Direction 2: zlib-produced streams (encoder-independent).
+    for level in (1, 6, 9):
+        for cname in ("text16k", "period7", "small_alpha", "binary"):
+            data = contents[cname]
+            n_run += 1
+            t0 = time.perf_counter()
+            try:
+                co = _zlib.compressobj(level, _zlib.DEFLATED, -15)
+                stream = co.compress(data) + co.flush()
+                ok = inflate_device(stream, cap(len(data))) == data
+                status = "PASS" if ok else "FAIL"
+            except Exception as e:  # noqa: BLE001
+                status, ok = f"ERROR {type(e).__name__}: {e}", False
+            print(f"{status:8s} dec<-zlib-{level}    {cname:12s} {len(data):7d}"
+                  f"  {time.perf_counter()-t0:6.2f}s", flush=True)
+            if not ok:
+                failures.append((f"zlib-{level}", cname))
+
+    total_s = time.perf_counter() - t_start
+    print(f"\ndevice-decode: {n_run - len(failures)}/{n_run} passed on "
+          f"{platform} in {total_s:.0f}s")
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="default preset only")
@@ -72,6 +165,12 @@ def main():
         "--cpu", action="store_true",
         help="force the CPU backend (smoke the matrix when no TPU is attached; "
         "env alone is too late — the site hook imports jax at startup)",
+    )
+    ap.add_argument(
+        "--device-decode", action="store_true",
+        help="run the DEVICE-SIDE inflate validator (ops/inflate_device.py): "
+        "encode -> decode on device -> compare, 30+ cases incl. zlib-produced "
+        "streams (the north star's closing clause)",
     )
     args = ap.parse_args()
 
@@ -94,6 +193,9 @@ def main():
 
     platform = jax.devices()[0].platform
     print(f"platform: {platform}")
+
+    if args.device_decode:
+        return device_decode_sweep(platform)
 
     presets = {"default": CompressionOptions.default()}
     if not args.quick:
