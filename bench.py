@@ -26,9 +26,53 @@ import numpy as np
 
 
 def build_corpus(total_bytes: int) -> bytes:
+    """BENCH_CORPUS=synthetic (default): a Silesia-like mix built from
+    pg11 + generated structured/random/run content (the real Silesia corpus
+    is unavailable — zero egress).  BENCH_CORPUS=files: REAL in-image files
+    (ELF shared objects and executables, concatenated package docs, JSON
+    configs, Python sources) — a non-synthetic content distribution."""
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "tests", "data", "pg11.txt"), "rb") as f:
         text = f.read()
+    if os.environ.get("BENCH_CORPUS", "synthetic") == "files":
+        import glob
+
+        pieces = []
+        for path in (
+            "/usr/lib/x86_64-linux-gnu/libc.so.6",
+            "/bin/bash",
+            "/usr/bin/perl",
+        ):
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    pieces.append(f.read())
+        for pat, cap in (
+            ("/usr/share/doc/*/copyright", 2 << 20),
+            ("/usr/share/gdal/*.json", 1 << 20),
+        ):
+            acc = []
+            for p in sorted(glob.glob(pat))[:400]:
+                try:
+                    with open(p, "rb") as f:
+                        acc.append(f.read())
+                except OSError:
+                    continue
+                if sum(len(a) for a in acc) > cap:
+                    break
+            pieces.append(b"".join(acc))
+        import numpy as _np
+
+        npdir = os.path.dirname(_np.__file__)
+        acc = []
+        for p in sorted(glob.glob(os.path.join(npdir, "**", "*.py"), recursive=True)):
+            with open(p, "rb") as f:
+                acc.append(f.read())
+            if sum(len(a) for a in acc) > (2 << 20):
+                break
+        pieces.append(b"".join(acc))
+        unit = b"".join(pieces) or text
+        reps = total_bytes // len(unit) + 1
+        return (unit * reps)[:total_bytes]
     rng = np.random.default_rng(1234)
     # Structured binary: record-ish data with repeated fields.
     rec = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()

@@ -73,12 +73,21 @@ class CompressionOptions:
     # not part of the reference-mirroring preset surface.
     split_scoring: str = "auto"
     # Number of content words used as SORT KEYS in the suffix-order matcher
-    # (0 = per-preset default).  Sort cost on this chip is driven by key
-    # count, not operand count (scripts/r3_probe.py: nk=1 0.068 vs nk=4
-    # 0.167 ms/chunk): fewer keys sort only a shorter content prefix and
-    # leave ties in position (recency) order, trading ratio for speed.
-    # Internal knob — not part of the reference-mirroring preset surface.
+    # (0 = per-preset default, see resolved_sort_nkey).  Fewer keys sort
+    # only a shorter content prefix and leave ties in position (recency)
+    # order — a ratio/speed axis that is also a ratio WIN for greedy K=1
+    # (recency order prefers near candidates: pg11 fast 68741 at nk=1 vs
+    # 71639 at nk=4).  Internal knob — not part of the reference-mirroring
+    # preset surface.
     sort_nkey: int = 0
+    # Intra-chunk block splitting: "auto" resolves per preset (off for the
+    # fast family — see num_quarters), "on"/"off" pin it.  Internal knob.
+    block_split: str = "auto"
+    # Long-range anchor matcher (ops/anchors.py): recovers full-length
+    # matches on highly redundant inputs where probe-capped tie-breaking
+    # starves the extensions.  "auto": on for every match-searching preset
+    # except the fast family (whose contract is throughput).  Internal knob.
+    long_range: str = "auto"
 
     @staticmethod
     def default() -> "CompressionOptions":
@@ -178,6 +187,12 @@ class CompressionOptions:
         256 KiB chunks at PW=8/K=128 beat both the 64 KiB baseline and
         zlib -6 on repeated-pg11).
         """
+        if self.fast_family:
+            # K=1 greedy only ever compares adjacent suffix-order rows;
+            # 16-byte probes buy little there (pg11: 68985 at PW=4 vs 68741
+            # at PW=6, both far under zlib-1) and each probe word is a sort
+            # operand.
+            return 4
         base = 16 if self.max_hash_checks > DEFAULT_MAX_HASH_CHECKS else 6
         if base == 6 and self.chain_scale > 1:
             return 8
@@ -207,15 +222,59 @@ class CompressionOptions:
         throughput_preset = self.matcher_mode == "hash" and self.matcher_algo == "sa"
         return not throughput_preset
 
+    @property
+    def fast_family(self) -> bool:
+        """Greedy presets with a tiny chain budget — the reference's fast is
+        1 hash check, greedy (compression_options.rs:141-148).  Their
+        contract is throughput; several knobs below resolve cheaper for
+        them.  huffman_only (0 checks) is matcher_mode 'none', not this."""
+        return (
+            self.matcher_mode == "hash"
+            and self.matching_type == MatchingType.Greedy
+            and self.max_hash_checks <= 4
+        )
+
+    @property
+    def num_quarters(self) -> int:
+        """Static quarter count for intra-chunk block splitting (4 or 1).
+
+        The fast family opts out of splitting: the 4-quarter machinery
+        (per-range histogram prefix sums, composition scoring, 4x header
+        field segments) is a large share of the fast pipeline's device time
+        for a few bytes of ratio (pg11: 68985 split-off vs 68315 split-on at
+        the fast matcher config — both far under zlib-1's 72095).
+        Everything else keeps the 4-way split (the analogue of the reference
+        re-tabling every <= 31744 tokens).
+        """
+        if self.block_split != "auto":
+            return 4 if self.block_split == "on" else 1
+        return 1 if self.fast_family else 4
+
+    @property
+    def use_long_range(self) -> bool:
+        """Resolve the long-range anchor matcher knob (see long_range)."""
+        if self.long_range != "auto":
+            return self.long_range == "on"
+        return self.matcher_mode == "hash" and not self.fast_family
+
+    @property
+    def resolved_sort_nkey(self) -> int:
+        """Sort-key count for the suffix-order matcher (see sort_nkey)."""
+        if self.sort_nkey:
+            return self.sort_nkey
+        return 1 if self.fast_family else min(4, self.probe_words)
+
     def cache_key(self) -> tuple:
         return (
             self.matcher_mode,
             self.matcher_algo,
             self.num_candidates,
             self.probe_words,
-            self.sort_nkey,
+            self.resolved_sort_nkey,
             self.lazy,
             min(self.lazy_if_less_than, 258),
             self.special.value,
             self.exact_split_scoring,
+            self.num_quarters,
+            self.use_long_range,
         )

@@ -89,9 +89,15 @@ def pack_fields(values, nbits, num_words: int):
     hi_b = jnp.where(boundary, hi, 0)
     s = jnp.cumsum(hi_b, dtype=jnp.uint32) - hi_b
     ps = jnp.cumsum(lo, dtype=jnp.uint32) + s  # mod 2^32; wrap cancels below
-    srt = jax.lax.sort(
-        [(~boundary).astype(jnp.int32), ps], num_keys=1, is_stable=True
-    )
+    # Compact boundaries with an UNSTABLE single-key sort: every word up to
+    # the last contains a field start, so boundary word indices are both
+    # unique and gap-free — the boundary for word w sorts exactly to rank w.
+    # (A stable sort costs like one extra key on TPU: XLA adds an internal
+    # iota tiebreak; unique keys need no tiebreak.)  Non-boundary rows share
+    # key ``num_words`` and land past every real word, where the
+    # total_bits mask below zeroes them.
+    key = jnp.where(boundary, word, jnp.int32(num_words))
+    srt = jax.lax.sort([key, ps], num_keys=1, is_stable=False)
     t = srt[1][:num_words]
     t_prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), t[:-1]])
     out = t - t_prev

@@ -82,44 +82,65 @@ _SY_BITS = np.array([3, 0, 16, 16], np.int32)
 # the entropy coding adapts.
 # ---------------------------------------------------------------------------
 
-NQ = 4  # quarters per chunk
-RANGES = [(i, j) for i in range(NQ) for j in range(i + 1, NQ + 1)]
-RANGE_ID = {r: k for k, r in enumerate(RANGES)}
-
-
-def _make_compositions():
+def _make_compositions(nq: int):
     comps = []
-    for mask in range(1 << (NQ - 1)):
-        bounds = [0] + [b + 1 for b in range(NQ - 1) if (mask >> b) & 1] + [NQ]
+    for mask in range(1 << (nq - 1)):
+        bounds = [0] + [b + 1 for b in range(nq - 1) if (mask >> b) & 1] + [nq]
         comps.append(tuple((bounds[t], bounds[t + 1]) for t in range(len(bounds) - 1)))
     comps.sort(key=len)  # argmin picks the FIRST min => fewer blocks on ties
     return comps
 
 
-COMPS = _make_compositions()
-# Per (quarter, composition) host constants driving the dynamic selectors.
-_HDR_START = np.array(
-    [[int(any(r[0] == q for r in c)) for c in COMPS] for q in range(NQ)], np.int32
-)
-_BLK_END = np.array(
-    [[int(any(r[1] == q + 1 for r in c)) for c in COMPS] for q in range(NQ)], np.int32
-)
-_LAST_START = np.array([max(r[0] for r in c) for c in COMPS], np.int32)
-# Block-slot machinery: composition c's t-th block is its t-th range; the
-# exact tables below are built only for these <= NQ slots.
-_SLOTQ = np.array(
-    [[next(t for t, r in enumerate(c) if r[0] <= q < r[1]) for c in COMPS] for q in range(NQ)],
-    np.int32,
-)  # [q][comp] -> slot index owning quarter q
-_MEM = np.array(
-    [[[1 if (t < len(c) and c[t][0] <= q < c[t][1]) else 0 for c in COMPS] for q in range(NQ)]
-     for t in range(NQ)],
-    np.int32,
-)  # [t][q][comp] -> quarter q in slot t
-_EXIST = np.array([[1 if t < len(c) else 0 for c in COMPS] for t in range(NQ)], np.int32)
-_RID_T = np.array(
-    [[RANGE_ID[c[t]] if t < len(c) else 0 for c in COMPS] for t in range(NQ)], np.int32
-)  # [t][comp] -> range id of the t-th block (exact-scoring table reuse)
+class _SplitCfg:
+    """Static split machinery for an ``nq``-quarter chunk.
+
+    nq is per-preset (options.num_quarters): throughput presets that opt out
+    of splitting get nq=1, collapsing every per-quarter loop below to a
+    single whole-chunk iteration (composition 0 is then the only one).
+    """
+
+    def __init__(self, nq: int):
+        self.nq = nq
+        self.ranges = [(i, j) for i in range(nq) for j in range(i + 1, nq + 1)]
+        self.range_id = {r: k for k, r in enumerate(self.ranges)}
+        comps = self.comps = _make_compositions(nq)
+        # Per (quarter, composition) host constants driving the selectors.
+        self.hdr_start = np.array(
+            [[int(any(r[0] == q for r in c)) for c in comps] for q in range(nq)], np.int32
+        )
+        self.blk_end = np.array(
+            [[int(any(r[1] == q + 1 for r in c)) for c in comps] for q in range(nq)], np.int32
+        )
+        self.last_start = np.array([max(r[0] for r in c) for c in comps], np.int32)
+        # Block-slot machinery: composition c's t-th block is its t-th range;
+        # the exact tables are built only for these <= nq slots.
+        self.slotq = np.array(
+            [[next(t for t, r in enumerate(c) if r[0] <= q < r[1]) for c in comps]
+             for q in range(nq)],
+            np.int32,
+        )  # [q][comp] -> slot index owning quarter q
+        self.mem = np.array(
+            [[[1 if (t < len(c) and c[t][0] <= q < c[t][1]) else 0 for c in comps]
+              for q in range(nq)] for t in range(nq)],
+            np.int32,
+        )  # [t][q][comp] -> quarter q in slot t
+        self.exist = np.array(
+            [[1 if t < len(c) else 0 for c in comps] for t in range(nq)], np.int32
+        )
+        self.rid_t = np.array(
+            [[self.range_id[c[t]] if t < len(c) else 0 for c in comps] for t in range(nq)],
+            np.int32,
+        )  # [t][comp] -> range id of the t-th block (exact-scoring reuse)
+
+
+@functools.lru_cache(maxsize=None)
+def _split_cfg(nq: int) -> _SplitCfg:
+    return _SplitCfg(nq)
+
+
+# Default-config aliases (timing/debug scripts import these).
+NQ = 4
+RANGES = _split_cfg(NQ).ranges
 
 
 def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: CompressionOptions,
@@ -148,6 +169,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     hist_len = jnp.asarray(hist_len, dtype=jnp.int32)
     n_total = HALO + n
     hstart = HALO - hist_len
+    sc = _split_cfg(options.num_quarters)
 
     # ------------------------------------------------------------------ LZ77
     mode = options.matcher_mode
@@ -155,13 +177,37 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         if options.matcher_algo == "sa":
             best_len, best_dist = find_matches(
                 buf, N, n_total, hstart, options.num_candidates,
-                probe_words=options.probe_words, nkey=options.sort_nkey,
+                probe_words=options.probe_words, nkey=options.resolved_sort_nkey,
             )
         else:
             best_len, best_dist = find_matches_hash(
                 buf, N, n_total, hstart, options.num_candidates,
                 probe_words=options.probe_words,
             )
+        if options.use_long_range:
+            # Long-range recovery (ops/anchors.py): content-defined anchors
+            # discover whole-copy repeat distances; the dominant-distance
+            # pass then measures EXACT run lengths at the most frequent of
+            # them for every position.  Take the longest claim per position
+            # and re-compose.
+            from .anchors import dominant_distance_lengths, find_anchor_matches
+            from .matching import chain_extend, stride_extend
+
+            a_len, a_dist, d_cand = find_anchor_matches(buf, N, n_total, hstart)
+            g_len, g_dist = dominant_distance_lengths(buf, N, n_total, hstart, d_cand)
+            take = a_len > best_len
+            best_len = jnp.where(take, a_len, best_len)
+            best_dist = jnp.where(take, a_dist, best_dist)
+            take = g_len > best_len
+            best_len = jnp.where(take, g_len, best_len)
+            best_dist = jnp.where(take, g_dist, best_dist)
+            lim_n = jnp.clip(n_total - jnp.arange(N, dtype=jnp.int32), 0, C.MAX_MATCH)
+            best_len = stride_extend(
+                chain_extend(best_len, best_dist, lim_n, N), best_dist, lim_n
+            )
+            ok3 = best_len >= C.MIN_MATCH
+            best_len = jnp.where(ok3, best_len, 0)
+            best_dist = jnp.where(ok3, best_dist, 0)
     elif mode == "rle":
         best_len, best_dist = find_rle_matches(buf, n_total, hstart, N)
     else:  # huffman_only
@@ -205,25 +251,25 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     dist_extra_n = jnp.where(is_match, dist_extra_n, 0)
     dist_extra_v = jnp.where(is_match, dist_extra_v, 0)
 
-    QL = E // NQ
+    QL = E // sc.nq
 
     # Per-quarter histograms over STATIC position slices (same total one-hot
     # work as one whole-chunk histogram), then prefix sums give every quarter
     # range its histogram.  Each range gets its own EOB.
     lf_q = jnp.stack([
         histogram_onehot(lsym[q * QL : (q + 1) * QL], tvalid[q * QL : (q + 1) * QL], C.NUM_USED_LITLEN)
-        for q in range(NQ)
+        for q in range(sc.nq)
     ])
     df_q = jnp.stack([
         histogram_onehot(
             dcode[q * QL : (q + 1) * QL], (tvalid & is_match)[q * QL : (q + 1) * QL], C.NUM_DIST_SYMBOLS
         )
-        for q in range(NQ)
+        for q in range(sc.nq)
     ])
     lf_cum = jnp.concatenate([jnp.zeros((1, C.NUM_USED_LITLEN), jnp.int32), jnp.cumsum(lf_q, axis=0)])
     df_cum = jnp.concatenate([jnp.zeros((1, C.NUM_DIST_SYMBOLS), jnp.int32), jnp.cumsum(df_q, axis=0)])
-    l_freq_r = jnp.stack([lf_cum[j] - lf_cum[i] for (i, j) in RANGES])  # [R, 286]
-    d_freq_r = jnp.stack([df_cum[j] - df_cum[i] for (i, j) in RANGES])  # [R, 30]
+    l_freq_r = jnp.stack([lf_cum[j] - lf_cum[i] for (i, j) in sc.ranges])  # [R, 286]
+    d_freq_r = jnp.stack([df_cum[j] - df_cum[i] for (i, j) in sc.ranges])  # [R, 30]
     l_freq_r = l_freq_r.at[:, C.END_OF_BLOCK].add(1)
 
     # ------------------- composition scoring (entropy proxy, exact fixed)
@@ -272,7 +318,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # symbol + ~8 bits per zero run in the length array.
     proxy_hdr_r = 14 + 57 + 4 * (lu + du) + 8 * (lz + dz)
     pm15 = functools.partial(package_merge_rows, max_len=C.MAX_CODE_LENGTH)
-    R_ = len(RANGES)
+    R_ = len(sc.ranges)
     if options.exact_split_scoring:
         # High preset: exact optimal token bits for every range (the full
         # 15-level package-merge over all 2R rows); the chosen blocks then
@@ -343,29 +389,29 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     if options.special == SpecialOptions.ForceFixed:
         force_fix = True
 
-    # Composition search: cheapest grouping of quarters into blocks.  COMPS
+    # Composition search: cheapest grouping of quarters into blocks.  sc.comps
     # is sorted by block count, and argmin takes the first minimum, so equal
     # score prefers fewer blocks (degenerating to one whole-chunk block).
     comp_cost = jnp.stack([
-        sum(range_score[RANGE_ID[r]] for r in comp) for comp in COMPS
+        sum(range_score[sc.range_id[r]] for r in comp) for comp in sc.comps
     ])
     comp_cost = jnp.where(
-        force_fix, jnp.where(jnp.arange(len(COMPS)) == 0, comp_cost, jnp.int32(1 << 30)), comp_cost
+        force_fix, jnp.where(jnp.arange(len(sc.comps)) == 0, comp_cost, jnp.int32(1 << 30)), comp_cost
     )
     best_comp = jnp.argmin(comp_cost).astype(jnp.int32)
-    comp_onehot = (jnp.arange(len(COMPS)) == best_comp).astype(jnp.int32)
+    comp_onehot = (jnp.arange(len(sc.comps)) == best_comp).astype(jnp.int32)
     is_split = best_comp != 0
 
     # ------------- exact Huffman tables for the chosen blocks (<= NQ slots)
-    exist = jnp.tensordot(_const(_EXIST), comp_onehot, axes=[[1], [0]])  # [t]
-    NS = NQ
+    exist = jnp.tensordot(_const(sc.exist), comp_onehot, axes=[[1], [0]])  # [t]
+    NS = sc.nq
     if options.exact_split_scoring:
         # Slot tables, headers AND bit costs are row-selections of the
         # per-range results already computed for scoring — no table or
         # header work is redone for the chosen blocks (nonexistent slots
         # select range 0: inert, every use is gated by ``exist`` or the
         # quarter selectors).
-        rid_t = jnp.tensordot(_const(_RID_T), comp_onehot, axes=[[1], [0]])
+        rid_t = jnp.tensordot(_const(sc.rid_t), comp_onehot, axes=[[1], [0]])
         l_freq_s = l_freq_r[rid_t]
         d_freq_s = d_freq_r[rid_t]
         l_len_s286 = l_len_r286[rid_t]
@@ -379,7 +425,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         fix_tok_bits_s = fix_tok_bits_r[rid_t]
         dyn_hdr_bits_s = hdr_bits_x[rid_t]  # same 14 + 3*hclen + clen formula
     else:
-        mem = jnp.tensordot(_const(_MEM), comp_onehot, axes=[[2], [0]])  # [t, q]
+        mem = jnp.tensordot(_const(sc.mem), comp_onehot, axes=[[2], [0]])  # [t, q]
         l_freq_s = jnp.einsum("tq,qa->ta", mem, lf_q).at[:, C.END_OF_BLOCK].add(exist)
         d_freq_s = jnp.einsum("tq,qa->ta", mem, df_q)
 
@@ -511,14 +557,14 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     d_pack_s = (d_code_sel_s | (d_len_sel_s.astype(jnp.uint32) << 16)).astype(jnp.int32)
 
     # Per-quarter dynamic selectors from the chosen composition.
-    hdr_on_q = [jnp.sum(comp_onehot * _const(_HDR_START[q])) == 1 for q in range(NQ)]
-    eob_on_q = [jnp.sum(comp_onehot * _const(_BLK_END[q])) == 1 for q in range(NQ)]
-    sid_q = [jnp.sum(comp_onehot * _const(_SLOTQ[q])) for q in range(NQ)]
-    q_last = jnp.sum(comp_onehot * _const(_LAST_START))
+    hdr_on_q = [jnp.sum(comp_onehot * _const(sc.hdr_start[q])) == 1 for q in range(sc.nq)]
+    eob_on_q = [jnp.sum(comp_onehot * _const(sc.blk_end[q])) == 1 for q in range(sc.nq)]
+    sid_q = [jnp.sum(comp_onehot * _const(sc.slotq[q])) for q in range(sc.nq)]
+    q_last = jnp.sum(comp_onehot * _const(sc.last_start))
 
     bfinal = jnp.asarray(is_last).astype(jnp.int32)
     seg_v, seg_b = [], []
-    for q in range(NQ):
+    for q in range(sc.nq):
         r = sid_q[q]
         part_fix = s_is_fix[r]
         hdr_on = huff & hdr_on_q[q]

@@ -72,6 +72,28 @@ def _probe_len(words_a, words_b):
     return total
 
 
+def stride_extend(best_len, best_dist, limit, strides=(16, 32, 64, 128)):
+    """Compose same-distance matches across log-spaced strides (gather-free).
+
+    If position i matches at distance d for l >= s bytes and position i+s
+    also matches at distance d, the two matches are contiguous at d, so i
+    provably matches for s + len(i+s) bytes.  Iterating ascending strides
+    doubles the reachable length each round (16+32+64+128 + probe cap > 258)
+    with nothing but shifted elementwise compares — the recovery path for
+    LONG matches, whose true length the probe window caps (repetitive
+    corpora: license texts, JSON configs; measured -8.6%/-48% vs zlib-6
+    before this pass).  Composes only ever-valid claims, so it never
+    overclaims; lengths stay clipped by each position's own limit.
+    """
+    l, d = best_len, best_dist
+    for s in strides:
+        l_s = jnp.concatenate([l[s:], jnp.zeros(s, l.dtype)])
+        d_s = jnp.concatenate([d[s:], jnp.zeros(s, d.dtype)])
+        ok = (d > 0) & (d_s == d) & (l >= s)
+        l = jnp.where(ok, jnp.maximum(l, s + l_s), l)
+    return jnp.minimum(l, limit)
+
+
 def chain_extend(best_len, best_dist, limit, N: int):
     """Extend probe-measured matches along constant-distance runs (exact,
     never overclaims; see module docstring step 3)."""
@@ -125,15 +147,33 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
     # Row r-k is the k-th most recent prior position with this hash.  Rolled
     # into a fori_loop (dynamic-sliced shifts) to keep the graph small; each
     # iteration is pure elementwise work over shifted rows — no gathers.
+    #
+    # Probe SCHEDULE: three quarters of the budget probes the most recent
+    # chain rows densely; the rest continues at geometrically growing
+    # spacing, reaching chain depth several times the budget.  Dense-only probing
+    # cannot see past the most recent K same-hash positions, which on
+    # crowded hashes (JSON keys, license boilerplate) is a ~1-2 KiB horizon
+    # — the reference's high preset walks 1768 links for exactly this reason
+    # (compression_options.rs:126-133).  Each probed candidate is measured
+    # independently over the full probe window, so a sparse deep sample
+    # still yields exact (capped) lengths.
     K = num_checks
+    ks, k = [], 1
+    while len(ks) < K:
+        ks.append(k)
+        k += 1 if len(ks) < (3 * K) // 4 else max(1, int(k * 0.04))
+    import numpy as _np
+
+    ks_arr = _np.array(ks, _np.int32)
+    KMAX = int(ks_arr[-1])
     valid_row = skey < INVALID_KEY
 
-    skey_ext = jnp.concatenate([jnp.full((K,), INVALID_KEY + 1, skey.dtype), skey])
-    spos_ext = jnp.concatenate([jnp.zeros((K,), spos.dtype), spos])
-    sprobe_ext = [jnp.concatenate([jnp.zeros((K,), w.dtype), w]) for w in sprobe]
+    skey_ext = jnp.concatenate([jnp.full((KMAX,), INVALID_KEY + 1, skey.dtype), skey])
+    spos_ext = jnp.concatenate([jnp.zeros((KMAX,), spos.dtype), spos])
+    sprobe_ext = [jnp.concatenate([jnp.zeros((KMAX,), w.dtype), w]) for w in sprobe]
 
-    def probe_step(k, best):
-        start = K - k
+    def probe_step(i, best):
+        start = KMAX - jnp.take(ks_arr, i)
         pk = jax.lax.dynamic_slice(skey_ext, [start], [N])
         ppos = jax.lax.dynamic_slice(spos_ext, [start], [N])
         dist = spos - ppos
@@ -147,7 +187,7 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
     # Carry zeros derived from a varying operand so the loop type-checks
     # under shard_map's varying-manual-axes tracking (spos*0 is varying where
     # a literal zeros array is not).
-    best = jax.lax.fori_loop(1, K + 1, probe_step, spos * 0)
+    best = jax.lax.fori_loop(0, K, probe_step, spos * 0)
 
     # ------------------------------------------------ unsort + chain extend
     # Un-permute via a second sort keyed by position: spos is a permutation
@@ -157,7 +197,7 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
     blen = jnp.minimum(score_pos >> 16, limit)
     bdist = jnp.where(score_pos > 0, WINDOW_SIZE + 1 - (score_pos & 0xFFFF), 0)
 
-    best_len = chain_extend(blen, bdist, limit, N)
+    best_len = stride_extend(chain_extend(blen, bdist, limit, N), bdist, limit)
     good = best_len >= 3
     return jnp.where(good, best_len, 0), jnp.where(good, bdist, 0)
 
@@ -277,7 +317,7 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int,
     blen = jnp.minimum(score_pos >> 16, limit)
     bdist = jnp.where(score_pos > 0, WINDOW_SIZE + 1 - (score_pos & 0xFFFF), 0)
 
-    best_len = chain_extend(blen, bdist, limit, N)
+    best_len = stride_extend(chain_extend(blen, bdist, limit, N), bdist, limit)
     good = best_len >= 3
     return jnp.where(good, best_len, 0), jnp.where(good, bdist, 0)
 

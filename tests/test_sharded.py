@@ -169,14 +169,55 @@ def test_sharded_outputs_stay_sharded_and_offsets_tile():
     (bufs, hist, ns, lasts), B = pad_to_multiple(build_batch(data, EMIT), 8)
     out_d = step(bufs, hist, ns, lasts)
 
-    # Every per-chunk output is sharded over the data axis: each device
-    # holds exactly Bp/8 chunks of the words array, not a replica.
-    words = out_d["words"]
-    shard_rows = {s.data.shape[0] for s in words.addressable_shards}
-    assert shard_rows == {words.shape[0] // 8}
+    # Every output stays sharded over the data axis: each device holds
+    # exactly 1/8 of the compacted word pieces, not a replica.
+    head = out_d["cw_head"]
+    shard_rows = {s.data.shape[0] for s in head.addressable_shards}
+    assert shard_rows == {head.shape[0] // 8}
+
+    # Compacted fetch volume ~= compressed size, NOT the word-row capacity:
+    # random data goes stored, whose chunks contribute ZERO device words.
+    from deflate_rs_tpu.parallel.sharded import host_used_words
+
+    used = host_used_words(out_d["btype"], out_d["data_bits"])
+    assert int(used[:B].sum()) == 0  # all chunks stored on random data
 
     nbytes, offsets = np.asarray(out_d["nbytes"]), np.asarray(out_d["offsets"])
     assert offsets[0] == 0
     np.testing.assert_array_equal(offsets[1:], (offsets + nbytes)[:-1])
-    out = assemble_host(out_d, B)
+    payloads = [data[i * EMIT : i * EMIT + int(ns[i])] for i in range(B)]
+    out = assemble_host(out_d, B, payloads=payloads, is_lasts=lasts[:B])
     assert zlib.decompress(out, wbits=-15) == data
+
+
+def test_sharded_compact_fetch_volume_mixed():
+    """On mixed content the compacted fetch volume tracks the compressed
+    size: used words == ceil(data_bits/32) for Huffman chunks, 0 for stored."""
+    rng = np.random.default_rng(6)
+    with open(os.path.join(DATA_DIR, "pg11.txt"), "rb") as f:
+        text = f.read()
+    data = text[: 4 * EMIT] + rng.integers(0, 256, 4 * EMIT, dtype=np.uint8).tobytes()
+    mesh = make_mesh(8)
+    step = make_sharded_encoder(mesh, CompressionOptions.default(), EMIT)
+    (bufs, hist, ns, lasts), B = pad_to_multiple(build_batch(data, EMIT), 8)
+    out_d = step(bufs, hist, ns, lasts)
+
+    from deflate_rs_tpu import constants as C
+    from deflate_rs_tpu.parallel.sharded import host_used_words
+
+    btype = np.asarray(out_d["btype"])[:B]
+    dbits = np.asarray(out_d["data_bits"])[:B]
+    used = host_used_words(btype, dbits)[:B]
+    assert (btype[4:] == C.BTYPE_STORED).all()  # the random half
+    assert (used[4:] == 0).all()
+    assert (used[:4] == (dbits[:4] + 31) // 32).all()
+    # fetch volume strictly below the full word-row capacity
+    from deflate_rs_tpu.ops.chunk_encode import out_words
+
+    assert used.sum() * 4 < 0.30 * B * out_words(EMIT) * 4
+
+    payloads = [data[i * EMIT : i * EMIT + int(ns[i])] for i in range(B)]
+    out = assemble_host(out_d, B, payloads=payloads, is_lasts=lasts[:B])
+    assert zlib.decompress(out, wbits=-15) == data
+    packed = assemble_host(out_d, B, packed=True, payloads=payloads, is_lasts=lasts[:B])
+    assert zlib.decompress(packed, wbits=-15) == data
