@@ -83,11 +83,29 @@ class CompressionOptions:
     # Intra-chunk block splitting: "auto" resolves per preset (off for the
     # fast family — see num_quarters), "on"/"off" pin it.  Internal knob.
     block_split: str = "auto"
-    # Long-range anchor matcher (ops/anchors.py): recovers full-length
+    # Long-range recovery pass (ops/longrange.py): recovers full-length
     # matches on highly redundant inputs where probe-capped tie-breaking
     # starves the extensions.  "auto": on for every match-searching preset
     # except the fast family (whose contract is throughput).  Internal knob.
     long_range: str = "auto"
+    # Probe window width override in 4-byte words (0 = per-preset default,
+    # see probe_words).  Internal knob for tuning sweeps.
+    probe_words_override: int = 0
+    # Dominant-distance count for the long-range exact-length pass
+    # (ops/longrange.py local_dominant_lengths); 0 = per-preset default
+    # (see resolved_num_dom).  Internal knob.
+    num_dom: int = 0
+    # Segment count for the local dominant-distance pass (ops/longrange.py
+    # local_dominant_lengths); 0 = default (16).  Internal knob.
+    dom_segs: int = 0
+    # Rounds of the local dominant-distance pass; 0 = default (1).  A second
+    # round harvests the distances the first round's claims exposed.
+    dom_iters: int = 0
+    # Log-step tail for the suffix-order scan (matching.sa_scan_xla): log2
+    # jump sizes appended after the dense scan, reaching exponentially
+    # deeper tie-group candidates with exact LCP.  "auto" resolves per
+    # preset; "off" disables; or a comma list like "4,5,6,7".  Internal.
+    sa_tail: str = "auto"
 
     @staticmethod
     def default() -> "CompressionOptions":
@@ -187,6 +205,8 @@ class CompressionOptions:
         256 KiB chunks at PW=8/K=128 beat both the 64 KiB baseline and
         zlib -6 on repeated-pg11).
         """
+        if self.probe_words_override:
+            return self.probe_words_override
         if self.fast_family:
             # K=1 greedy only ever compares adjacent suffix-order rows;
             # 16-byte probes buy little there (pg11: 68985 at PW=4 vs 68741
@@ -258,6 +278,27 @@ class CompressionOptions:
         return self.matcher_mode == "hash" and not self.fast_family
 
     @property
+    def resolved_sa_tail(self) -> tuple:
+        """Log-step tail schedule for the sa matcher (see sa_tail)."""
+        if self.sa_tail == "off":
+            return ()
+        if self.sa_tail != "auto":
+            return tuple(int(x) for x in self.sa_tail.split(","))
+        if self.fast_family or self.matcher_algo != "sa":
+            return ()
+        # Dense-K scans a ~K-row neighborhood; the tail reaches the far side
+        # of crowded tie groups (repeated JSON keys / license boilerplate)
+        # at 8 extra steps: depths K+16 .. K+4080.
+        return (4, 5, 6, 7, 8, 9, 10, 11)
+
+    @property
+    def resolved_num_dom(self) -> int:
+        """Dominant-distance count for the long-range pass (see num_dom)."""
+        if self.num_dom:
+            return self.num_dom
+        return 8
+
+    @property
     def resolved_sort_nkey(self) -> int:
         """Sort-key count for the suffix-order matcher (see sort_nkey)."""
         if self.sort_nkey:
@@ -277,4 +318,7 @@ class CompressionOptions:
             self.exact_split_scoring,
             self.num_quarters,
             self.use_long_range,
+            self.resolved_num_dom if self.use_long_range else 0,
+            (self.dom_segs, self.dom_iters) if self.use_long_range else (0, 0),
+            self.resolved_sa_tail,
         )

@@ -178,6 +178,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             best_len, best_dist = find_matches(
                 buf, N, n_total, hstart, options.num_candidates,
                 probe_words=options.probe_words, nkey=options.resolved_sort_nkey,
+                tail_jumps=options.resolved_sa_tail,
             )
         else:
             best_len, best_dist = find_matches_hash(
@@ -185,23 +186,34 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
                 probe_words=options.probe_words,
             )
         if options.use_long_range:
-            # Long-range recovery (ops/anchors.py): content-defined anchors
-            # discover whole-copy repeat distances; the dominant-distance
-            # pass then measures EXACT run lengths at the most frequent of
-            # them for every position.  Take the longest claim per position
-            # and re-compose.
-            from .anchors import dominant_distance_lengths, find_anchor_matches
+            # Long-range recovery (ops/longrange.py): positions whose claim
+            # hit the probe cap contribute their distance; per-segment
+            # dominant distances are then measured EXACTLY at every
+            # position, recovering full-length matches where probe-capped
+            # tie diversity fragmented them.  (An earlier content-defined
+            # anchor matcher fed this too — measured to add nothing once
+            # the harvest came from the main matcher's capped claims, and
+            # deleted.)
+            from .longrange import local_dominant_lengths
             from .matching import chain_extend, stride_extend
 
-            a_len, a_dist, d_cand = find_anchor_matches(buf, N, n_total, hstart)
-            g_len, g_dist = dominant_distance_lengths(buf, N, n_total, hstart, d_cand)
-            take = a_len > best_len
-            best_len = jnp.where(take, a_len, best_len)
-            best_dist = jnp.where(take, a_dist, best_dist)
-            take = g_len > best_len
-            best_len = jnp.where(take, g_len, best_len)
-            best_dist = jnp.where(take, g_dist, best_dist)
+            cap = 4 * options.probe_words
+            d_cand = jnp.where(best_len >= cap, best_dist, 0)
             lim_n = jnp.clip(n_total - jnp.arange(N, dtype=jnp.int32), 0, C.MAX_MATCH)
+            for _ in range(max(1, options.dom_iters)):
+                g_len, g_dist = local_dominant_lengths(
+                    buf, N, n_total, hstart, d_cand,
+                    num_dom=options.resolved_num_dom,
+                    num_seg=options.dom_segs or 16,
+                )
+                take = g_len > best_len
+                best_len = jnp.where(take, g_len, best_len)
+                best_dist = jnp.where(take, g_dist, best_dist)
+                # Next round harvests the claims whose length is STILL
+                # unmeasured (>= cap): those are the only ones whose true
+                # extent a further exact pass can reveal; short resolved
+                # matches would just dilute the per-segment top-M.
+                d_cand = jnp.where(best_len >= cap, best_dist, 0)
             best_len = stride_extend(
                 chain_extend(best_len, best_dist, lim_n, N), best_dist, lim_n
             )

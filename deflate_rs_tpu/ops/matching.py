@@ -203,8 +203,19 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
 
 
 def sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks: int,
-                probe_words: int):
-    """Suffix-order LCP + K-deep running-min scan (both backends)."""
+                probe_words: int, tail_jumps: tuple = ()):
+    """Suffix-order LCP + K-deep running-min scan (both backends).
+
+    ``tail_jumps``: optional log2 jump sizes appended after the dense K-deep
+    scan.  Each jump of 2^j rows extends the running-min LCP EXACTLY via a
+    sparse min-table (M_j[i] = min of 2^j adjacent LCPs ending at row i), so
+    one extra step samples a candidate 2^j rows deeper with the true LCP —
+    reaching thousands-deep tie groups (repeated JSON keys, license
+    boilerplate; the reference's high preset walks 1768 chain links for the
+    same reason, compression_options.rs:126-133) at a handful of steps.
+    Sampled-depth candidates between jumps are skipped (ratio, not
+    correctness: the running min is the exact LCP at every examined depth).
+    """
     NKEY = len(skeys)
     N = spos.shape[0]
 
@@ -222,35 +233,67 @@ def sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks: int,
 
     # ------------------- K-deep running-min scan, both suffix-order sides
     K = num_checks
+    DEEP = K + sum(1 << j for j in tail_jumps)
     svalid = (spos >= hstart) & (spos <= n_total - 3)
-    al_b = jnp.concatenate([jnp.zeros((K,), jnp.int32), al])
-    pos_b = jnp.concatenate([jnp.full((K,), jnp.int32(-(1 << 30))), spos])
-    al_f = jnp.concatenate([al, jnp.zeros((K,), jnp.int32)])
-    pos_f = jnp.concatenate([spos, jnp.full((K,), jnp.int32(1 << 30))])
+    al_b = jnp.concatenate([jnp.zeros((DEEP,), jnp.int32), al])
+    pos_b = jnp.concatenate([jnp.full((DEEP,), jnp.int32(-(1 << 30))), spos])
+    al_f = jnp.concatenate([al, jnp.zeros((DEEP,), jnp.int32)])
+    pos_f = jnp.concatenate([spos, jnp.full((DEEP,), jnp.int32(1 << 30))])
 
-    def step(k, carry):
-        runb, runf, best = carry
-        ab = jax.lax.dynamic_slice(al_b, [K - k + 1], [N])
-        cb = jax.lax.dynamic_slice(pos_b, [K - k], [N])
-        af = jax.lax.dynamic_slice(al_f, [k], [N])
-        cf = jax.lax.dynamic_slice(pos_f, [k], [N])
-        runb = jnp.minimum(runb, ab)
-        runf = jnp.minimum(runf, af)
+    def score_at(runb, runf, cb, cf, best):
         db = spos - cb
         df = spos - cf
         okb = (db >= 1) & (db <= WINDOW_SIZE) & (cb >= hstart) & (runb >= 3)
         okf = (df >= 1) & (df <= WINDOW_SIZE) & (cf >= hstart) & (runf >= 3)
         sb = jnp.where(okb, (runb << 16) | (WINDOW_SIZE + 1 - db), 0)
         sf = jnp.where(okf, (runf << 16) | (WINDOW_SIZE + 1 - df), 0)
-        return runb, runf, jnp.maximum(best, jnp.maximum(sb, sf))
+        return jnp.maximum(best, jnp.maximum(sb, sf))
+
+    def step(k, carry):
+        runb, runf, best = carry
+        ab = jax.lax.dynamic_slice(al_b, [DEEP - k + 1], [N])
+        cb = jax.lax.dynamic_slice(pos_b, [DEEP - k], [N])
+        af = jax.lax.dynamic_slice(al_f, [k], [N])
+        cf = jax.lax.dynamic_slice(pos_f, [k], [N])
+        runb = jnp.minimum(runb, ab)
+        runf = jnp.minimum(runf, af)
+        return runb, runf, score_at(runb, runf, cb, cf, best)
 
     init = spos * 0 + 4 * probe_words
-    _, _, best = jax.lax.fori_loop(1, K + 1, step, (init, init, spos * 0))
+    runb, runf, best = jax.lax.fori_loop(1, K + 1, step, (init, init, spos * 0))
+    if not tail_jumps:
+        return jnp.where(svalid, best, 0)
+
+    # ----------------------------- log-step tail over the sparse min-table
+    # M_j[i] = min(al[i - 2^j + 1 .. i]); built by doubling (j levels of one
+    # shifted elementwise min each).  Jump from depth k to k' = k + 2^j:
+    #   backward: extra window al[i-k'+1 .. i-k]  == M_j at row  i - k
+    #   forward:  extra window al[i+k+1  .. i+k'] == M_j at row  i + k'
+    max_j = max(tail_jumps)
+    M = [al]
+    for j in range(1, max_j + 1):
+        s = 1 << (j - 1)
+        prev = M[-1]
+        shifted = jnp.concatenate([jnp.zeros((s,), jnp.int32), prev[:-s]])
+        M.append(jnp.minimum(prev, shifted))
+    k = K
+    for j in tail_jumps:
+        s = 1 << j
+        k2 = k + s
+        Mb = jnp.concatenate([jnp.zeros((DEEP,), jnp.int32), M[j]])
+        Mf = jnp.concatenate([M[j], jnp.zeros((DEEP,), jnp.int32)])
+        runb = jnp.minimum(runb, jax.lax.dynamic_slice(Mb, [DEEP - k], [N]))
+        runf = jnp.minimum(runf, jax.lax.dynamic_slice(Mf, [k2], [N]))
+        cb = jax.lax.dynamic_slice(pos_b, [DEEP - k2], [N])
+        cf = jax.lax.dynamic_slice(pos_f, [k2], [N])
+        best = score_at(runb, runf, cb, cf, best)
+        k = k2
     return jnp.where(svalid, best, 0)
 
 
 def find_matches(buf, N: int, n_total, hstart, num_checks: int,
-                 probe_words: int = PROBE_WORDS, nkey: int = 0):
+                 probe_words: int = PROBE_WORDS, nkey: int = 0,
+                 tail_jumps: tuple = ()):
     """Best (length, distance) per position via a bounded suffix sort.
 
     The round-2 matcher: instead of sorting by 3-byte *hash* and probing K
@@ -309,7 +352,8 @@ def find_matches(buf, N: int, n_total, hstart, num_checks: int,
     # (0.640 vs 0.567 ms/chunk for the XLA formulation: the per-step roll
     # pair costs more than XLA's dynamic-slice shifts) and deleted — a
     # falsified experiment does not ride along disabled.
-    best = sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks, probe_words)
+    best = sa_scan_xla(skeys, spos, spay, hstart, n_total, num_checks,
+                       probe_words, tail_jumps=tail_jumps)
 
     # ------------------------------------------------ unsort + chain extend
     # Un-permute via a second sort keyed by position (see find_matches_hash).

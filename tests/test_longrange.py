@@ -1,0 +1,90 @@
+"""Unit tests for ops/longrange.py — exact run lengths, never overclaiming."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from deflate_rs_tpu.ops.longrange import local_dominant_lengths
+
+
+def brute_run(data: bytes, i: int, d: int, n_total: int, hstart: int) -> int:
+    """Longest l with data[i+t] == data[i+t-d] for t < l (within bounds)."""
+    if d <= 0 or i - d < hstart:
+        return 0
+    l = 0
+    while i + l < n_total and data[i + l] == data[i + l - d] and l < 258:
+        l += 1
+    return l
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_claims_exact_vs_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    N = 2048
+    S, M = 8, 4
+    # Repetitive content with a few planted long copies at varied distances.
+    base = rng.integers(97, 123, N // 4, dtype=np.uint8)
+    data = np.tile(base, 4).astype(np.uint8)
+    for (src, dst, ln) in ((100, 700, 300), (40, 1500, 258), (900, 1203, 97)):
+        data[dst : dst + ln] = data[src : src + ln]
+    pad = np.zeros(300, np.uint8)
+    buf = jnp.asarray(np.concatenate([data, pad]))
+    n_total, hstart = N, 0
+
+    # Candidates: the planted distances plus noise, position-major.
+    d_cand = np.zeros(N, np.int32)
+    d_cand[700:1000:7] = 600
+    d_cand[1500:1750:5] = 1460
+    d_cand[1203:1280:3] = 303
+    d_cand[::31] = 512  # mostly-invalid noise distance
+
+    b_len, b_dist = local_dominant_lengths(
+        buf, N, jnp.int32(n_total), jnp.int32(hstart), jnp.asarray(d_cand),
+        num_dom=M, num_seg=S,
+    )
+    b_len = np.asarray(b_len)
+    b_dist = np.asarray(b_dist)
+    raw = bytes(data)
+    for i in range(N):
+        if b_len[i] > 0:
+            true = brute_run(raw, i, int(b_dist[i]), n_total, hstart)
+            # Claims must be exact byte runs at the claimed distance (the
+            # cost model and the emitted stream both rely on them).
+            assert b_len[i] <= true, (i, int(b_len[i]), true, int(b_dist[i]))
+            # And byte-exact unless clipped by MAX_MATCH/limit.
+            assert b_len[i] == min(true, 258, n_total - i), (
+                i, int(b_len[i]), true)
+
+
+def test_planted_copy_recovered_full_length():
+    """A 258-byte copy at a dominant distance must be claimed in full."""
+    rng = np.random.default_rng(3)
+    N = 4096
+    data = rng.integers(0, 256, N, dtype=np.uint8)
+    data[2000:2258] = data[400:658]
+    buf = jnp.asarray(np.concatenate([data, np.zeros(300, np.uint8)]))
+    d_cand = np.zeros(N, np.int32)
+    d_cand[2000:2100] = 1600
+    b_len, b_dist = local_dominant_lengths(
+        buf, N, jnp.int32(N), jnp.int32(0), jnp.asarray(d_cand),
+        num_dom=4, num_seg=8,
+    )
+    assert int(b_len[2000]) == 258
+    assert int(b_dist[2000]) == 1600
+
+
+def test_no_claims_outside_validity():
+    """Positions whose source crosses hstart or end get no claims."""
+    N = 1024
+    data = np.tile(np.arange(32, dtype=np.uint8), N // 32)
+    buf = jnp.asarray(np.concatenate([data, np.zeros(300, np.uint8)]))
+    d_cand = np.full(N, 32, np.int32)
+    hstart = 512
+    b_len, b_dist = local_dominant_lengths(
+        buf, N, jnp.int32(N), jnp.int32(hstart), jnp.asarray(d_cand),
+        num_dom=2, num_seg=4,
+    )
+    b_len = np.asarray(b_len)
+    assert (b_len[: hstart + 32] == 0).all()  # source would cross hstart
+    assert (b_len[hstart + 32 : N - 3] >= 3).any()
