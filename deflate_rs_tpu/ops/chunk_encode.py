@@ -200,11 +200,11 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             cap = 4 * options.probe_words
             d_cand = jnp.where(best_len >= cap, best_dist, 0)
             lim_n = jnp.clip(n_total - jnp.arange(N, dtype=jnp.int32), 0, C.MAX_MATCH)
-            for _ in range(max(1, options.dom_iters)):
+            for _ in range(options.resolved_dom_iters):
                 g_len, g_dist = local_dominant_lengths(
                     buf, N, n_total, hstart, d_cand,
                     num_dom=options.resolved_num_dom,
-                    num_seg=options.dom_segs or 16,
+                    num_seg=options.resolved_dom_segs,
                 )
                 take = g_len > best_len
                 best_len = jnp.where(take, g_len, best_len)

@@ -104,8 +104,13 @@ def local_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
         li = s * L + jnp.arange(L2, dtype=jnp.int32)
 
         def one(d):
+            # Validity is NOT masked per byte here: a claim at start i only
+            # needs i - d >= hstart (later bytes x > i then satisfy it too)
+            # and the final limit clip bounds every claim by n_total - i, so
+            # start-time masking (below, in position space) suffices —
+            # saving ~1/3 of the per-distance compare work.
             sh = jax.lax.dynamic_slice(bufe, [WINDOW_SIZE + s * L - d], [L2])
-            okb = (base == sh) & (li < n_total) & (li - d >= hstart) & (d > 0)
+            okb = base == sh
             # Byte prefix runs: pa[t][i] = bytes i..i+t all ok (shifted ANDs).
             ok1 = jnp.concatenate([okb[1:], jnp.zeros(1, bool)])
             ok2 = jnp.concatenate([okb[2:], jnp.zeros(2, bool)])
@@ -142,8 +147,17 @@ def local_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
     runs = jax.vmap(seg_runs)(jnp.arange(S, dtype=jnp.int32), doms)  # [S,M,L2]
     runs = runs[:, :, :L]  # claims for positions owned by the segment
     lens = jnp.minimum(runs.reshape(S, M, L), limit.reshape(S, 1, L))
+    # Start-time validity (see the note in one()): source inside history,
+    # start inside payload, real distance.
+    pos = idx.reshape(S, 1, L)
+    ok_claim = (
+        (lens >= 3)
+        & (doms[:, :, None] > 0)
+        & (pos - doms[:, :, None] >= hstart)
+        & (pos < n_total)
+    )
     score = jnp.where(
-        lens >= 3,
+        ok_claim,
         (lens << 16) | (WINDOW_SIZE + 1 - doms[:, :, None]),
         0,
     )

@@ -135,6 +135,50 @@ def main():
     t = sync_time(jax.vmap(s_fields), lsym, dcode, tvalid, exv, lpack, dpack, iters=IT)
     print(f"tok fields  : {t*1e3/B:8.3f} ms/chunk")
 
+    # d) the bit pack itself (2E token fields + header/stored slack)
+    from deflate_rs_tpu.ops.bitpack import pack_fields
+    from deflate_rs_tpu.ops.chunk_encode import out_words
+
+    F = 2 * E + 256
+    NW = out_words(E)
+    vals = jax.device_put(rng.integers(0, 1 << 16, (B, F)).astype(np.uint32))
+    bits = jax.device_put(
+        (rng.integers(0, 12, (B, F)) * (rng.random((B, F)) < 0.4)).astype(np.int32))
+    t = sync_time(jax.vmap(functools.partial(pack_fields, num_words=NW)),
+                  vals, bits, iters=IT)
+    print(f"pack_fields : {t*1e3/B:8.3f} ms/chunk")
+
+    # e) symbol mapping (arithmetic length/dist codes)
+    from deflate_rs_tpu.ops.symbolmap import dist_code, length_code
+
+    lens = jax.device_put(rng.integers(3, 258, (B, E)).astype(np.int32))
+    dists = jax.device_put(rng.integers(1, 32768, (B, E)).astype(np.int32))
+
+    def s_sym(ln, dd):
+        lc, ln_, lv = length_code(ln)
+        dc_, dn, dv = dist_code(dd)
+        return lc + dc_ + ln_ + dn, lv + dv
+
+    t = sync_time(jax.vmap(s_sym), lens, dists, iters=IT)
+    print(f"symbol map  : {t*1e3/B:8.3f} ms/chunk")
+
+    # f) jump graph + parse
+    from deflate_rs_tpu.ops.parse import build_jumps
+    from deflate_rs_tpu.ops.parse_scan import parse_scan
+
+    blen = jax.device_put((rng.integers(0, 40, (B, E)) * (rng.random((B, E)) < 0.3)).astype(np.int32))
+    bdist = jax.device_put(rng.integers(1, 32768, (B, E)).astype(np.int32))
+    ns = jax.device_put(np.full(B, E, np.int32))
+
+    def s_parse(bl, bd, n):
+        steps = build_jumps(bl, bd, lazy=True, lazy_if_less_than=32)
+        if jax.default_backend() == "tpu":
+            return parse_scan(steps, n)
+        return steps
+
+    t = sync_time(jax.vmap(s_parse), blen, bdist, ns, iters=IT)
+    print(f"jumps+parse : {t*1e3/B:8.3f} ms/chunk")
+
 
 if __name__ == "__main__":
     main()

@@ -62,16 +62,15 @@ def test_issue18_bin_vs_zlib():
 # regression ceilings: any matcher/packing change that grows output past
 # them must be deliberate.  When a change improves ratio, tighten the pin.
 PG11_GOLDEN_CEILINGS = {
-    # fast: round 3 re-tuned the preset for throughput (sort_nkey=1, PW=4,
-    # splitting off) and the recency-ordered ties IMPROVED ratio for greedy
-    # K=1 (71271 -> 68985; nearer candidates = cheaper distances).
-    "fast": 68985,
-    "default": 60429,
-    # high: the round-3 dense-3/4 + geometric-tail probe schedule trades 24
-    # bytes here (60164 -> 60188, still well under zlib-9's 60385) for wins
-    # on deep-chain corpora (doc_text 59803 -> 59639 <= zlib-9 59807;
-    # scripts/corpora_ratio.py).
-    "high": 60188,
+    # fast: round-3 throughput re-tune (sort_nkey=1, PW=4, splitting off)
+    # improved ratio for greedy K=1 (71271 -> 68985); TOO_FAR 8192 -> 1024
+    # tightened it again (-> 68562).
+    "fast": 68562,
+    # default: sa log-step tail + TOO_FAR=1024 (60429 -> 60236).
+    "default": 60236,
+    # high: geometric probe tail + long-range local-dominant pass +
+    # TOO_FAR=1024 (60188 -> 60132; zlib-9 is 60385).
+    "high": 60132,
     "rle": 97877,
     "huffman_only": 97867,
 }
