@@ -87,8 +87,9 @@ def pack_fields(values, nbits, num_words: int):
     # the word's own contributions (the carry fills bits below the first
     # in-word field's phase), so ADD == OR.  One sort payload instead of two.
     hi_b = jnp.where(boundary, hi, 0)
-    s = jnp.cumsum(hi_b, dtype=jnp.uint32) - hi_b
-    ps = jnp.cumsum(lo, dtype=jnp.uint32) + s  # mod 2^32; wrap cancels below
+    # ps = cumsum(lo) + (cumsum(hi_b) - hi_b), folded into ONE cumsum:
+    # cumsum(lo + hi_b) - hi_b.  Mod 2^32; wrap cancels in the differences.
+    ps = jnp.cumsum(lo + hi_b, dtype=jnp.uint32) - hi_b
     # Compact boundaries with an UNSTABLE single-key sort: every word up to
     # the last contains a field start, so boundary word indices are both
     # unique and gap-free — the boundary for word w sorts exactly to rank w.

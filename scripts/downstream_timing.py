@@ -29,7 +29,7 @@ import deflate_rs_tpu.constants as C  # noqa: E402
 from deflate_rs_tpu.ops.canonical import canonical_codes  # noqa: E402
 from deflate_rs_tpu.ops.chunk_encode import NQ, RANGES  # noqa: E402
 from deflate_rs_tpu.ops.code_lengths import CL_CAP, encode_code_lengths  # noqa: E402
-from deflate_rs_tpu.ops.package_merge import package_merge_lengths  # noqa: E402
+from deflate_rs_tpu.ops.package_merge import package_merge_rows  # noqa: E402
 from deflate_rs_tpu.ops.symbolmap import histogram_onehot, table_lookup  # noqa: E402
 from deflate_rs_tpu.utils.profiling import sync_time  # noqa: E402
 
@@ -68,11 +68,11 @@ def main():
     dfreq = jax.device_put(rng.integers(0, 200, (B, R, C.NUM_DIST_SYMBOLS)).astype(np.int32))
 
     def s_tables(l_freq_r, d_freq_r):
-        pm15 = functools.partial(package_merge_lengths, max_len=C.MAX_CODE_LENGTH)
+        # Production path: package_merge_rows (Pallas kernel on TPU).
         d_pad = jnp.concatenate(
             [d_freq_r, jnp.zeros((R, C.NUM_USED_LITLEN - C.NUM_DIST_SYMBOLS), jnp.int32)], axis=1
         )
-        ld_len = jax.vmap(pm15)(jnp.concatenate([l_freq_r, d_pad], axis=0))
+        ld_len = package_merge_rows(jnp.concatenate([l_freq_r, d_pad], axis=0), max_len=C.MAX_CODE_LENGTH)
         l_len = ld_len[:R]
         d_len = ld_len[R:, : C.NUM_DIST_SYMBOLS]
         hlit = jnp.clip(jnp.max(jnp.where(l_len > 0, jnp.arange(C.NUM_USED_LITLEN)[None, :], -1), axis=1) + 1, 257, 286)
@@ -84,7 +84,7 @@ def main():
             jnp.take_along_axis(d_len, jnp.clip(j[None, :] - hlit[:, None], 0, 29), axis=1),
         )
         rle = jax.vmap(encode_code_lengths)(cl, hlit + hdist)
-        clen_len = jax.vmap(functools.partial(package_merge_lengths, max_len=7))(rle["freq"])
+        clen_len = package_merge_rows(rle["freq"], max_len=7)
         clen_codes = jax.vmap(functools.partial(canonical_codes, max_len=7))(clen_len)
         ld_codes = jax.vmap(functools.partial(canonical_codes, max_len=15))(
             jnp.concatenate([
@@ -99,11 +99,10 @@ def main():
 
     # b1) the batched 15-level package-merge alone
     def s_pm(l_freq_r, d_freq_r):
-        pm15 = functools.partial(package_merge_lengths, max_len=C.MAX_CODE_LENGTH)
         d_pad = jnp.concatenate(
             [d_freq_r, jnp.zeros((R, C.NUM_USED_LITLEN - C.NUM_DIST_SYMBOLS), jnp.int32)], axis=1
         )
-        return jax.vmap(pm15)(jnp.concatenate([l_freq_r, d_pad], axis=0))
+        return package_merge_rows(jnp.concatenate([l_freq_r, d_pad], axis=0), max_len=C.MAX_CODE_LENGTH)
 
     t = sync_time(jax.vmap(s_pm), lfreq, dfreq, iters=IT)
     print(f"  pm15 alone: {t*1e3/B:8.3f} ms/chunk")
