@@ -133,6 +133,14 @@ def make_sharded_encoder(mesh, options: CompressionOptions, emit_size: int,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=out_specs,
+        # The encode pipeline contains pallas_call kernels (parse_scan,
+        # pm_kernel) whose output avals carry no varying-mesh-axes (vma)
+        # annotation; with the default check_vma=True, shard_map rejects
+        # them on the TPU backend (caught by scripts/sharded_overhead.py on
+        # a real chip — the CPU mesh tests never see it because the kernels
+        # are TPU-gated).  Every output here is per-chunk data varying over
+        # the data axis, which is exactly what out_specs declares.
+        check_vma=False,
     )
 
     return jax.jit(sharded)
