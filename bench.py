@@ -233,8 +233,13 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
     last_tpu_path = os.path.join(here, "BENCH_LAST_TPU.json")
+    corpus_kind = os.environ.get("BENCH_CORPUS", "synthetic")
     result = {
-        "metric": "encode_gbps_silesia_like_default_e2e",
+        "metric": (
+            "encode_gbps_silesia_like_default_e2e"
+            if corpus_kind != "files"
+            else "encode_gbps_image_files_default_e2e"
+        ),
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / 1.0, 4),
@@ -244,7 +249,11 @@ def main():
         "ratio": round(len(res.deflate) / n, 4),
         **extra,
     }
-    if platform == "tpu":
+    # Only the DEFAULT-config run (synthetic corpus, default queue depth)
+    # is the authoritative last-TPU snapshot (ADVICE r2: a non-default
+    # experiment must not overwrite the record the driver falls back to).
+    if (platform == "tpu" and corpus_kind != "files"
+            and "BENCH_QUEUE_DEPTH" not in os.environ):
         try:
             with open(last_tpu_path, "w") as f:
                 json.dump(result, f)
