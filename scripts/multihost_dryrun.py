@@ -54,7 +54,11 @@ def child(coordinator: str, num_procs: int, pid: int, dev_per_proc: int) -> int:
 
     emit = 4096
     mesh = make_mesh()
-    step = make_sharded_encoder(mesh, CompressionOptions.default(), emit)
+    # Full word rows for the allgathered global roundtrip below; the
+    # production compacted mode is exercised separately via assemble_local.
+    step = make_sharded_encoder(mesh, CompressionOptions.default(), emit,
+                                compact=False)
+    step_c = make_sharded_encoder(mesh, CompressionOptions.default(), emit)
 
     # One chunk per global device; every process builds the same global
     # numpy input and contributes its addressable shards.
@@ -94,12 +98,14 @@ def child(coordinator: str, num_procs: int, pid: int, dev_per_proc: int) -> int:
     )
     assert zlib.decompress(stream, wbits=-15) == data, "multi-host roundtrip failed"
 
-    # The production multi-host writeout path: each process assembles ONLY
-    # its addressable shards and gets the global byte offset to pwrite at.
-    # Validated against the allgathered stream: the segments must tile it.
+    # The production multi-host writeout path: each process runs the
+    # COMPACTED encoder (used-prefix fetch), assembles ONLY its addressable
+    # shards, and gets the global byte offset to pwrite at.  Validated
+    # against the allgathered stream: the segments must tile it.
     from deflate_rs_tpu.parallel.sharded import assemble_local
 
-    seg, seg_off = assemble_local(out)
+    out_c = step_c(to_global(bufs), to_global(hist), to_global(ns), to_global(lasts))
+    seg, seg_off = assemble_local(out_c, is_lasts=lasts)
     assert stream[seg_off : seg_off + len(seg)] == seg, (
         f"[proc {pid}] local segment does not match its stream window"
     )
