@@ -22,6 +22,7 @@ import numpy as np
 from .. import constants as C
 from ..compression_options import Compression, CompressionOptions
 from ..ops.chunk_encode import HALO, PAD, get_chunk_encoder
+from ..ops.compaction import used_words_host
 from ..runtime import native
 from ..utils.debug import ByteAccountant, enabled as debug_enabled
 from .assembly import BitAssembler, splice_encoded_chunk
@@ -148,10 +149,9 @@ class _DeflateCore:
             done += g
         for g, payload, meta_d, head_d, rest_d in inflight:
             meta = np.asarray(meta_d)  # (3, g) — the synchronizing fetch
-            # Used-word rule mirrors the device-side compaction in
-            # _corpus_encoder_flat: zero words for stored chunks (re-emitted
-            # from the raw payload), ceil(data_bits/32) otherwise.
-            used = np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
+            # Used-word rule: ops/compaction.py, the one shared definition of
+            # the device-side packing and the host-side read.
+            used = used_words_host(meta[1], meta[2])
             need = int(used.sum())
             words = np.asarray(head_d)
             if need > words.shape[0]:

@@ -23,6 +23,9 @@ from ..models.assembly import BitAssembler, splice_encoded_chunk
 from ..models.deflate import FULL_EMIT, StreamResult, _resolve
 from ..models.gzip_header import GzBuilder
 from ..ops.chunk_encode import HALO, PAD, encode_chunk
+from ..ops.compaction import (
+    compact_words_device, used_words_device, used_words_host,
+)
 from ..runtime import native
 
 
@@ -83,27 +86,15 @@ def _corpus_encoder_flat(options: CompressionOptions, emit_size: int, batch: int
         meta = jnp.stack(
             [out["total_bits"], out["btype"], out["data_bits"]]
         ).astype(jnp.int32)
-        # Device-side used-prefix compaction: the host link (~24 MB/s fetch,
+        # Device-side used-prefix compaction (ops/compaction.py — the one
+        # shared definition): the host link (~24 MB/s fetch,
         # scripts/link_probe.py) is the e2e wall, so fetch only the words the
         # splicer will actually read — ceil(data_bits/32) per Huffman chunk,
         # ZERO for stored chunks (the host re-emits those from the raw
-        # payload it already holds; models/assembly.py).  One stable sort by
-        # destination index packs every chunk's used prefix contiguously.
+        # payload it already holds; models/assembly.py).
         words = out["words"]
         NW = words.shape[1]
-        used = jnp.where(
-            meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32
-        )  # [B] words needed per chunk
-        woff = jnp.cumsum(used) - used  # exclusive offsets in the flat buffer
-        j = jnp.arange(NW, dtype=jnp.int32)
-        key = jnp.where(
-            j[None, :] < used[:, None],
-            woff[:, None] + j[None, :],
-            jnp.int32(batch * NW),
-        ).reshape(-1)
-        compact = jax.lax.sort(
-            [key, words.reshape(-1)], num_keys=1, is_stable=True
-        )[1]
+        compact = compact_words_device(words, used_words_device(meta[1], meta[2]))
         # Two static pieces instead of one buffer: the host fetches the
         # first unconditionally and the second only when the batch's used
         # words exceed CAP (ratio > ~0.5 net of stored chunks — rare).
@@ -200,12 +191,6 @@ def compress_corpus(
         with tlock:
             tstats[key] += v
 
-    def host_used_words(meta):
-        """Words the splicer reads per chunk — MUST mirror the device-side
-        compaction rule in _corpus_encoder_flat (zero for stored chunks,
-        ceil(data_bits/32) otherwise); the single host-side definition."""
-        return np.where(meta[1] == C.BTYPE_STORED, 0, (meta[2] + 31) // 32)
-
     def fetch_batch(meta_d, words_d):
         t0 = time.perf_counter() if trace else 0.0
         meta = np.asarray(meta_d)  # (3, B) — the synchronizing fetch
@@ -220,7 +205,7 @@ def compress_corpus(
         # transfer bytes for queue latency; skippable for measurement.
         if flat_mode:
             head_d, rest_d = words_d
-            used = host_used_words(meta)
+            used = used_words_host(meta[1], meta[2])
             need = int(used.sum())
             t0 = time.perf_counter() if trace else 0.0
             words = np.asarray(head_d)

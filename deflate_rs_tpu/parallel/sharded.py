@@ -34,24 +34,20 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from .. import constants as C
 from ..compression_options import CompressionOptions
 from ..ops.chunk_encode import encode_chunk
+from ..ops.compaction import (
+    compact_words_device, used_words_device, used_words_host,
+)
 from .mesh import DATA_AXIS
 
-
-def host_used_words(btype, data_bits):
-    """Words the assembler reads per chunk — MUST mirror the device-side
-    compaction rule in make_sharded_encoder / _corpus_encoder_flat: zero for
-    stored chunks (re-emitted from raw payload), ceil(data_bits/32) else."""
-    import numpy as np
-
-    return np.where(np.asarray(btype) == C.BTYPE_STORED, 0,
-                    (np.asarray(data_bits) + 31) // 32)
+# The assembler-side view of the fetch contract (ops/compaction.py — the one
+# definition shared with the device packing).
+host_used_words = used_words_host
 
 
 def make_sharded_encoder(mesh, options: CompressionOptions, emit_size: int,
@@ -62,9 +58,13 @@ def make_sharded_encoder(mesh, options: CompressionOptions, emit_size: int,
     every array sharded over ``DATA_AXIS`` with global length B =
     bufs.shape[0] (divisible by the mesh size):
 
-      nbytes:  int32[B] compressed byte count (sync-marker framing)
-      offsets: int32[B] global byte offset of each chunk in the aligned
-               stream (from the all-gather + scan collective)
+      nbytes:     int32[B] compressed byte count (sync-marker framing)
+      all_nbytes: int32[B] the same sizes REPLICATED (the all-gather
+                  collective) — every process derives each chunk's global
+                  byte offset from it via :func:`global_offsets`, an int64
+                  host scan.  The int32 per-chunk sizes are always small;
+                  only the running total needs 64 bits (it overflows int32
+                  past 2 GiB of output, so no offset scan runs on device).
       btype, data_bits: block metadata for host splicing
       s1, s2, crc_raw: checksum partials
       compact=True:  cw_head/cw_rest: uint32, each shard's used-prefix
@@ -80,17 +80,16 @@ def make_sharded_encoder(mesh, options: CompressionOptions, emit_size: int,
         out = encode(bufs, hist_lens, ns, is_lasts)
         nbytes = (out["total_bits"] + 7) // 8  # sync marker => byte aligned
 
-        # Collective: gather every chunk's compressed size, scan for offsets,
-        # then slice this shard's window back out (varying again).
+        # Collective: gather every chunk's compressed size so every process
+        # can compute any chunk's global byte offset on host (int64 scan —
+        # global_offsets).  No offset arithmetic happens on device: an int32
+        # cumsum overflows once total output exceeds 2 GiB.
         local_b = nbytes.shape[0]
         all_nbytes = jax.lax.all_gather(nbytes, DATA_AXIS).reshape(-1)
-        all_offsets = jnp.cumsum(all_nbytes) - all_nbytes
-        my_start = jax.lax.axis_index(DATA_AXIS) * local_b
-        my_offsets = jax.lax.dynamic_slice(all_offsets, (my_start,), (local_b,))
 
         res = {
             "nbytes": nbytes,
-            "offsets": my_offsets,
+            "all_nbytes": all_nbytes,
             "btype": out["btype"],
             "data_bits": out["data_bits"],
             "s1": out["s1"],
@@ -100,31 +99,21 @@ def make_sharded_encoder(mesh, options: CompressionOptions, emit_size: int,
         if not compact:
             res["words"] = out["words"]
             return res
-        # Device-side used-prefix compaction, per shard (the corpus
-        # pipeline's fetch rule, parallel/corpus.py): one sort packs every
-        # local chunk's used words contiguously; stored chunks contribute
-        # nothing (the host re-emits them from the raw payload).
+        # Device-side used-prefix compaction, per shard (ops/compaction.py —
+        # the one shared definition): stored chunks contribute nothing (the
+        # host re-emits them from the raw payload).
         words = out["words"]
-        NW = words.shape[1]
-        used = jnp.where(
-            out["btype"] == C.BTYPE_STORED, 0, (out["data_bits"] + 31) // 32
+        flat = compact_words_device(
+            words, used_words_device(out["btype"], out["data_bits"])
         )
-        woff = jnp.cumsum(used) - used
-        j = jnp.arange(NW, dtype=jnp.int32)
-        key = jnp.where(
-            j[None, :] < used[:, None],
-            woff[:, None] + j[None, :],
-            jnp.int32(local_b * NW),
-        ).reshape(-1)
-        flat = jax.lax.sort([key, words.reshape(-1)], num_keys=1, is_stable=False)[1]
-        cap = (local_b * NW) // 2
+        cap = (local_b * words.shape[1]) // 2
         res["cw_head"] = flat[:cap]
         res["cw_rest"] = flat[cap:]
         return res
 
     spec = P(DATA_AXIS)
     out_specs = {
-        "nbytes": spec, "offsets": spec, "btype": spec,
+        "nbytes": spec, "all_nbytes": P(), "btype": spec,
         "data_bits": spec, "s1": spec, "s2": spec, "crc_raw": spec,
     }
     out_specs.update({"cw_head": spec, "cw_rest": spec} if compact else {"words": spec})
@@ -144,6 +133,35 @@ def make_sharded_encoder(mesh, options: CompressionOptions, emit_size: int,
     )
 
     return jax.jit(sharded)
+
+
+def global_offsets(all_nbytes):
+    """Exclusive int64 prefix sum of per-chunk byte counts.
+
+    The byte offset of every chunk in the final stream, computed on host in
+    int64 on purpose: per-chunk sizes fit int32 comfortably, the running
+    total does not once output passes 2 GiB (the BASELINE 10 GB sharded
+    config).  Reference analogue: the writer streams unbounded output,
+    writer.rs:15-58.
+    """
+    import numpy as np
+
+    nb = np.asarray(all_nbytes, dtype=np.int64)
+    return np.cumsum(nb) - nb
+
+
+def replicated_host(arr):
+    """Fetch a REPLICATED sharded array on this process.
+
+    ``np.asarray`` on a multi-process global array raises (not fully
+    addressable); a replicated value is whole in every addressable shard, so
+    read the first one.
+    """
+    import numpy as np
+
+    if hasattr(arr, "addressable_shards"):
+        return np.asarray(arr.addressable_shards[0].data)
+    return np.asarray(arr)
 
 
 def _shard_rows(arr):
@@ -292,7 +310,9 @@ def assemble_local(out, *, payloads=None, is_lasts=None, n: int | None = None
         )
 
     nbytes, first = local_rows(out["nbytes"])
-    offsets, _ = local_rows(out["offsets"])
+    # Global byte offsets: int64 host scan over the replicated size gather
+    # (a device int32 scan would overflow past 2 GiB of output).
+    offsets = global_offsets(replicated_host(out["all_nbytes"]))
     owned = local_chunk_range(out["nbytes"].shape[0])
     if (first, first + nbytes.shape[0]) != (owned.start, owned.stop):
         raise AssertionError(
@@ -316,9 +336,9 @@ def assemble_local(out, *, payloads=None, is_lasts=None, n: int | None = None
                 packed=False,
             )
             consumed += local_b
-        return asm.take_aligned(), int(offsets[0]) if len(offsets) else 0
+        return asm.take_aligned(), int(offsets[first]) if len(offsets) else 0
 
     words, _ = local_rows(out["words"])
     u8 = np.ascontiguousarray(words).view(np.uint8)
     segment = native.assemble_chunks(u8, nbytes.astype(np.int64))
-    return segment, int(offsets[0]) if len(offsets) else 0
+    return segment, int(offsets[first]) if len(offsets) else 0
