@@ -158,15 +158,18 @@ def main():
     warm = compress_corpus(data[: chunk * batch], batch_size=batch, chunk_size=chunk)
     assert zlib.decompress(warm.deflate, wbits=-15) == data[: chunk * batch]
 
-    # Best-of-N timed runs: the tunnel link's throughput wanders run to run
-    # (measured 0.66 s vs 1.01 s for the identical pipeline on different
-    # days), so a single sample conflates link weather with code changes.
-    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
-    secs = float("inf")
+    # Best-of-N timed runs WITH the per-run spread recorded (VERDICT r3
+    # item 6): the tunnel link's throughput wanders run to run (measured
+    # 0.66 s vs 1.01 s for the identical pipeline on different days), so a
+    # single sample conflates link weather with code changes — the JSON
+    # carries every run so a regression is distinguishable from weather.
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
+    run_secs = []
     for _ in range(reps):
         t0 = time.perf_counter()
         res = compress_corpus(data, batch_size=batch, chunk_size=chunk, queue_depth=qd)
-        secs = min(secs, time.perf_counter() - t0)
+        run_secs.append(round(time.perf_counter() - t0, 3))
+    secs = min(run_secs)
     gbps = n / secs / 1e9
 
     # Validate after timing: stdlib oracle + checksums.

@@ -85,11 +85,11 @@ class CompressionOptions:
     block_split: str = "auto"
     # Long-range recovery pass (ops/longrange.py): recovers full-length
     # matches on highly redundant inputs where probe-capped tie-breaking
-    # starves the extensions.  "auto": on for the deep-chain ratio preset
-    # (high) only — the pass costs multiple ms/chunk of device time
-    # (docs/perf_notes.md round-3 ledger), which is the high preset's
-    # contract to spend and the throughput presets' contract not to.
-    # Internal knob.
+    # starves the extensions.  "auto": on for every chain-budget preset
+    # except the fast family — the round-4 Mosaic measurement kernel
+    # (ops/lr_kernel.py) brought the pass to ~1 ms/chunk at the default
+    # budget, which is what makes Default <= zlib-6 on every in-image
+    # corpus (tests/test_corpora_ratio.py).  Internal knob.
     long_range: str = "auto"
     # Probe window width override in 4-byte words (0 = per-preset default,
     # see probe_words).  Internal knob for tuning sweeps.
@@ -104,6 +104,18 @@ class CompressionOptions:
     # Rounds of the local dominant-distance pass; 0 = default (1).  A second
     # round harvests the distances the first round's claims exposed.
     dom_iters: int = 0
+    # Global-union long-range variant (ops/longrange.py
+    # global_dominant_lengths): per-segment top-num_dom distances are
+    # unioned into this many static slots, each measured over the WHOLE
+    # chunk with gather-free contiguous slices — the budgeted form the
+    # default preset can afford (the per-segment window slices of the local
+    # variant are a ~1000-row gather, measured as its device wall).
+    # 0 = use the local variant.
+    lr_global: int = 0
+    # Harvest subsample stride for the dominant count (capped claims arrive
+    # in runs, so a strided sample preserves the frequency ranking at
+    # 1/stride the selection-sort cost).  0 = per-preset default.
+    lr_stride: int = 0
     # Log-step tail for the suffix-order scan (matching.sa_scan_xla): log2
     # jump sizes appended after the dense scan, reaching exponentially
     # deeper tie-group candidates with exact LCP.  "auto" resolves per
@@ -278,9 +290,8 @@ class CompressionOptions:
         """Resolve the long-range recovery knob (see long_range)."""
         if self.long_range != "auto":
             return self.long_range == "on"
-        # The deep-chain preset (high: hash matcher) only; fast/default keep
-        # their device budget.
-        return self.matcher_mode == "hash" and self.matcher_algo == "hash"
+        # Every chain-budget preset except the throughput (fast) family.
+        return self.matcher_mode == "hash" and not self.fast_family
 
     @property
     def resolved_sa_tail(self) -> tuple:
@@ -300,13 +311,16 @@ class CompressionOptions:
     def resolved_num_dom(self) -> int:
         """Dominant-distance count for the long-range pass (see num_dom).
 
-        48/32-segment/2-round resolved below: the corpora sweep saturated
-        there (M64, S64, x3 all measured identical), and it is what makes
-        the high preset <= zlib-9 on every in-image corpus.
+        high (hash matcher): 48/32-segment/2-round — the corpora sweep
+        saturated there (M64, S64, x3 measured identical); it is what makes
+        the preset <= zlib-9 on every in-image corpus.  default (sa):
+        32/32/1 at harvest stride 2 — the smallest budget that keeps every
+        corpus <= zlib-6 (r4 sweep: worst 0.997), ~1 ms/chunk via the
+        Mosaic kernel.
         """
         if self.num_dom:
             return self.num_dom
-        return 48
+        return 48 if self.matcher_algo == "hash" else 32
 
     @property
     def resolved_dom_segs(self) -> int:
@@ -318,7 +332,14 @@ class CompressionOptions:
     def resolved_dom_iters(self) -> int:
         if self.dom_iters:
             return self.dom_iters
-        return 2
+        return 2 if self.matcher_algo == "hash" else 1
+
+    @property
+    def resolved_lr_stride(self) -> int:
+        """Harvest subsample stride for the long-range pass (see lr_stride)."""
+        if self.lr_stride:
+            return self.lr_stride
+        return 1 if self.matcher_algo == "hash" else 2
 
     @property
     def resolved_sort_nkey(self) -> int:
@@ -341,6 +362,7 @@ class CompressionOptions:
             self.num_quarters,
             self.use_long_range,
             (self.resolved_num_dom, self.resolved_dom_segs,
-             self.resolved_dom_iters) if self.use_long_range else (0, 0, 0),
+             self.resolved_dom_iters, self.lr_global, self.resolved_lr_stride)
+            if self.use_long_range else (0, 0, 0, 0, 0),
             self.resolved_sa_tail,
         )

@@ -194,18 +194,47 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             # anchor matcher fed this too — measured to add nothing once
             # the harvest came from the main matcher's capped claims, and
             # deleted.)
-            from .longrange import local_dominant_lengths
+            import os as _os
+
+            from .longrange import (
+                global_dominant_lengths, local_dominant_lengths,
+                local_dominant_lengths_tpu,
+            )
             from .matching import chain_extend, stride_extend
 
+            # The TPU measurement kernel requires 128-word-aligned segments.
+            use_lr_kernel = (
+                jax.default_backend() == "tpu"
+                and not options.lr_global
+                and N % (4 * 128 * options.resolved_dom_segs) == 0
+                and _os.environ.get("DEFLATE_TPU_LR_KERNEL", "1") != "0"
+            )
             cap = 4 * options.probe_words
             d_cand = jnp.where(best_len >= cap, best_dist, 0)
             lim_n = jnp.clip(n_total - jnp.arange(N, dtype=jnp.int32), 0, C.MAX_MATCH)
             for _ in range(options.resolved_dom_iters):
-                g_len, g_dist = local_dominant_lengths(
-                    buf, N, n_total, hstart, d_cand,
-                    num_dom=options.resolved_num_dom,
-                    num_seg=options.resolved_dom_segs,
-                )
+                if use_lr_kernel:
+                    g_len, g_dist = local_dominant_lengths_tpu(
+                        buf, N, n_total, hstart, d_cand,
+                        num_dom=options.resolved_num_dom,
+                        num_seg=options.resolved_dom_segs,
+                        harvest_stride=options.resolved_lr_stride,
+                    )
+                elif options.lr_global:
+                    g_len, g_dist = global_dominant_lengths(
+                        buf, N, n_total, hstart, d_cand,
+                        num_dom=options.resolved_num_dom,
+                        num_seg=options.resolved_dom_segs,
+                        num_global=options.lr_global,
+                        harvest_stride=options.resolved_lr_stride,
+                    )
+                else:
+                    g_len, g_dist = local_dominant_lengths(
+                        buf, N, n_total, hstart, d_cand,
+                        num_dom=options.resolved_num_dom,
+                        num_seg=options.resolved_dom_segs,
+                        harvest_stride=options.resolved_lr_stride,
+                    )
                 take = g_len > best_len
                 best_len = jnp.where(take, g_len, best_len)
                 best_dist = jnp.where(take, g_dist, best_dist)
@@ -267,17 +296,35 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
 
     # Per-quarter histograms over STATIC position slices (same total one-hot
     # work as one whole-chunk histogram), then prefix sums give every quarter
-    # range its histogram.  Each range gets its own EOB.
-    lf_q = jnp.stack([
-        histogram_onehot(lsym[q * QL : (q + 1) * QL], tvalid[q * QL : (q + 1) * QL], C.NUM_USED_LITLEN)
-        for q in range(sc.nq)
-    ])
-    df_q = jnp.stack([
-        histogram_onehot(
-            dcode[q * QL : (q + 1) * QL], (tvalid & is_match)[q * QL : (q + 1) * QL], C.NUM_DIST_SYMBOLS
-        )
-        for q in range(sc.nq)
-    ])
+    # range its histogram.  Each range gets its own EOB.  The fused Pallas
+    # histogram kernel (hist_kernel.py) was built for this stage and measured
+    # a small composite LOSS (+0.02-0.04 ms/chunk at default/fast — the XLA
+    # one-hot hides under the matcher; scripts/probes/kernel_ab.py), so it is
+    # OFF unless explicitly enabled; kept tested as the measured record.
+    import os as _os
+
+    use_hist_kernel = (
+        jax.default_backend() == "tpu"
+        and E % (128 * sc.nq) == 0
+        and _os.environ.get("DEFLATE_TPU_HIST_KERNEL", "0") == "1"
+    )
+    if use_hist_kernel:
+        from .hist_kernel import quarter_histograms
+
+        lsym_eff = jnp.where(tvalid, lsym, 999)
+        dcode_eff = jnp.where(tvalid & is_match, dcode, 99)
+        lf_q, df_q = quarter_histograms(lsym_eff, dcode_eff, sc.nq)
+    else:
+        lf_q = jnp.stack([
+            histogram_onehot(lsym[q * QL : (q + 1) * QL], tvalid[q * QL : (q + 1) * QL], C.NUM_USED_LITLEN)
+            for q in range(sc.nq)
+        ])
+        df_q = jnp.stack([
+            histogram_onehot(
+                dcode[q * QL : (q + 1) * QL], (tvalid & is_match)[q * QL : (q + 1) * QL], C.NUM_DIST_SYMBOLS
+            )
+            for q in range(sc.nq)
+        ])
     lf_cum = jnp.concatenate([jnp.zeros((1, C.NUM_USED_LITLEN), jnp.int32), jnp.cumsum(lf_q, axis=0)])
     df_cum = jnp.concatenate([jnp.zeros((1, C.NUM_DIST_SYMBOLS), jnp.int32), jnp.cumsum(df_q, axis=0)])
     l_freq_r = jnp.stack([lf_cum[j] - lf_cum[i] for (i, j) in sc.ranges])  # [R, 286]
@@ -575,6 +622,33 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     q_last = jnp.sum(comp_onehot * _const(sc.last_start))
 
     bfinal = jnp.asarray(is_last).astype(jnp.int32)
+
+    # Fused token-field kernel (field_kernel.py): all four per-position
+    # field arrays in one Mosaic program, tables resolved VMEM-resident —
+    # the XLA path streams an E x 288 f32 one-hot per lookup through HBM.
+    # Measured composite win (-0.02 default / -0.03 fast ms/chunk,
+    # scripts/probes/kernel_ab.py).  Bit-identical where field widths are
+    # nonzero (the only bits that reach the stream); tests/test_field_kernel.py.
+    use_field_kernel = (
+        jax.default_backend() == "tpu"
+        and E % (128 * sc.nq) == 0
+        and _os.environ.get("DEFLATE_TPU_FIELD_KERNEL", "1") != "0"
+    )
+    if use_field_kernel:
+        from .field_kernel import token_fields
+
+        l_pack_q4 = jnp.stack([l_pack_s[sid_q[q]] for q in range(sc.nq)])
+        d_pack_q4 = jnp.stack([d_pack_s[sid_q[q]] for q in range(sc.nq)])
+        lsym_k = lsym_eff if use_hist_kernel else jnp.where(tvalid, lsym, 999)
+        dcode_k = (
+            dcode_eff if use_hist_kernel
+            else jnp.where(tvalid & is_match, dcode, 99)
+        )
+        kt1v, kt1b, kt2v, kt2b = token_fields(
+            huff.astype(jnp.int32), lsym_k, len_extra_n, len_extra_v,
+            dcode_k, dist_extra_n, dist_extra_v, l_pack_q4, d_pack_q4,
+        )
+
     seg_v, seg_b = [], []
     for q in range(sc.nq):
         r = sid_q[q]
@@ -607,21 +681,27 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         rle_b = jnp.stack([rle_code_b, rle_ex_b], axis=1).reshape(-1)
 
         # Token fields for this quarter's static position slice, coded with
-        # the owning block's tables (packed code|len<<16: ONE one-hot MXU
-        # lookup per side — same total matmul work as the unsplit encoder).
+        # the owning block's tables.  TPU: slices of the fused-kernel field
+        # arrays; CPU: packed code|len<<16 one-hot MXU lookups per side.
         sl = slice(q * QL, (q + 1) * QL)
-        tok_on = tvalid[sl] & huff
-        l_pack = table_lookup(l_pack_s[r], lsym[sl], C.NUM_LITLEN_SYMBOLS)
-        lsym_code = (l_pack & 0xFFFF).astype(jnp.uint32)
-        lsym_len = l_pack >> 16
-        t1v = lsym_code | (len_extra_v[sl].astype(jnp.uint32) << lsym_len.astype(jnp.uint32))
-        t1b = jnp.where(tok_on, lsym_len + len_extra_n[sl], 0)
-        mt = tok_on & is_match[sl]
-        d_pack = table_lookup(d_pack_s[r], dcode[sl], C.NUM_DIST_SYMBOLS)
-        d_code_v = (d_pack & 0xFFFF).astype(jnp.uint32)
-        d_code_l = d_pack >> 16
-        t2v = d_code_v | (dist_extra_v[sl].astype(jnp.uint32) << d_code_l.astype(jnp.uint32))
-        t2b = jnp.where(mt, d_code_l + dist_extra_n[sl], 0)
+        if use_field_kernel:
+            t1v = kt1v[sl].astype(jnp.uint32)
+            t1b = kt1b[sl]
+            t2v = kt2v[sl].astype(jnp.uint32)
+            t2b = kt2b[sl]
+        else:
+            tok_on = tvalid[sl] & huff
+            l_pack = table_lookup(l_pack_s[r], lsym[sl], C.NUM_LITLEN_SYMBOLS)
+            lsym_code = (l_pack & 0xFFFF).astype(jnp.uint32)
+            lsym_len = l_pack >> 16
+            t1v = lsym_code | (len_extra_v[sl].astype(jnp.uint32) << lsym_len.astype(jnp.uint32))
+            t1b = jnp.where(tok_on, lsym_len + len_extra_n[sl], 0)
+            mt = tok_on & is_match[sl]
+            d_pack = table_lookup(d_pack_s[r], dcode[sl], C.NUM_DIST_SYMBOLS)
+            d_code_v = (d_pack & 0xFFFF).astype(jnp.uint32)
+            d_code_l = d_pack >> 16
+            t2v = d_code_v | (dist_extra_v[sl].astype(jnp.uint32) << d_code_l.astype(jnp.uint32))
+            t2b = jnp.where(mt, d_code_l + dist_extra_n[sl], 0)
         tok_v = jnp.stack([t1v, t2v], axis=1).reshape(-1)
         tok_b = jnp.stack([t1b, t2b], axis=1).reshape(-1)
 

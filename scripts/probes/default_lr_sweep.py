@@ -32,12 +32,12 @@ def main():
     z6 = {k: len(zlib.compress(v, 6)) - 6 for k, v in CORPORA.items()}
     names = sorted(CORPORA)
     configs = [("off", CompressionOptions.default())]
-    for m, s, it in [(8, 16, 1), (16, 16, 1), (8, 32, 1), (16, 32, 1),
-                     (32, 32, 1), (16, 32, 2)]:
+    for m, s, it, st in [(32, 32, 1, 2), (36, 32, 1, 4), (40, 32, 1, 4),
+                         (40, 32, 1, 2), (48, 32, 1, 4)]:
         configs.append((
-            f"M{m}S{s}x{it}",
+            f"M{m}S{s}x{it}st{st}",
             CompressionOptions(long_range="on", num_dom=m, dom_segs=s,
-                               dom_iters=it),
+                               dom_iters=it, lr_stride=st),
         ))
     hdr = f"{'config':>10s}" + "".join(f" {n:>10s}" for n in names)
     print(hdr)

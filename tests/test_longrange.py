@@ -88,3 +88,36 @@ def test_no_claims_outside_validity():
     b_len = np.asarray(b_len)
     assert (b_len[: hstart + 32] == 0).all()  # source would cross hstart
     assert (b_len[hstart + 32 : N - 3] >= 3).any()
+
+
+def test_kernel_path_matches_xla_formulation():
+    """local_dominant_lengths_tpu (Mosaic, interpret mode here) must be
+    bit-identical to the XLA word-space formulation."""
+    import jax
+
+    from deflate_rs_tpu.ops.longrange import local_dominant_lengths_tpu
+
+    rng = np.random.default_rng(7)
+    N = 4096  # 4*128*S with S=8 -> 128-word segments
+    S, M = 8, 6
+    base = rng.integers(32, 127, N // 8, dtype=np.uint8)
+    data = np.tile(base, 8).astype(np.uint8)
+    for (src, dst, ln) in ((64, 1100, 258), (500, 2100, 300), (40, 3803, 97)):
+        data[dst : dst + ln] = data[src : src + ln]
+    buf = jnp.asarray(np.concatenate([data, np.zeros(4200, np.uint8)]))
+    d_cand = np.zeros(N, np.int32)
+    d_cand[1100:1350:3] = 1036
+    d_cand[2100:2390:5] = 1600
+    d_cand[3803:3890:2] = 3763
+    d_cand[::17] = 700
+
+    ref = local_dominant_lengths(
+        buf, N, jnp.int32(N), jnp.int32(0), jnp.asarray(d_cand),
+        num_dom=M, num_seg=S,
+    )
+    got = local_dominant_lengths_tpu(
+        buf, N, jnp.int32(N), jnp.int32(0), jnp.asarray(d_cand),
+        num_dom=M, num_seg=S, interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))

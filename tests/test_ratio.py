@@ -66,8 +66,9 @@ PG11_GOLDEN_CEILINGS = {
     # improved ratio for greedy K=1 (71271 -> 68985); TOO_FAR 8192 -> 1024
     # tightened it again (-> 68562).
     "fast": 68562,
-    # default: sa log-step tail + TOO_FAR=1024 (60429 -> 60236).
-    "default": 60236,
+    # default: sa log-step tail + TOO_FAR=1024 (60429 -> 60236); round-4
+    # budgeted long-range pass (-> 60140).
+    "default": 60140,
     # high: geometric probe tail + long-range local-dominant pass +
     # TOO_FAR=1024 (60188 -> 60132; zlib-9 is 60385).
     "high": 60132,
