@@ -25,16 +25,16 @@ import time
 import numpy as np
 
 
-def build_corpus(total_bytes: int) -> bytes:
-    """BENCH_CORPUS=synthetic (default): a Silesia-like mix built from
-    pg11 + generated structured/random/run content (the real Silesia corpus
-    is unavailable — zero egress).  BENCH_CORPUS=files: REAL in-image files
+def build_corpus(total_bytes: int, kind: str | None = None) -> bytes:
+    """kind="synthetic" (default, or BENCH_CORPUS): a Silesia-like mix built
+    from pg11 + generated structured/random/run content (the real Silesia
+    corpus is unavailable — zero egress).  kind="files": REAL in-image files
     (ELF shared objects and executables, concatenated package docs, JSON
     configs, Python sources) — a non-synthetic content distribution."""
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "tests", "data", "pg11.txt"), "rb") as f:
         text = f.read()
-    if os.environ.get("BENCH_CORPUS", "synthetic") == "files":
+    if (kind or os.environ.get("BENCH_CORPUS", "synthetic")) == "files":
         import glob
 
         pieces = []
@@ -178,6 +178,18 @@ def main():
     assert res.crc32 == zlib.crc32(data)
 
     extra = {}
+    # Secondary: REAL in-image files (non-synthetic content distribution) —
+    # recorded alongside the synthetic headline every run (VERDICT r3
+    # missing #4), reusing the already-compiled encoder.
+    if os.environ.get("BENCH_FILES_METRIC", "1") != "0" and platform != "cpu":
+        fdata = build_corpus(total_mb << 20, kind="files")
+        t0 = time.perf_counter()
+        fres = compress_corpus(fdata, batch_size=batch, chunk_size=chunk,
+                               queue_depth=qd)
+        fsecs = time.perf_counter() - t0
+        assert zlib.decompress(fres.deflate, wbits=-15) == fdata
+        extra["files_e2e_gbps"] = round(len(fdata) / fsecs / 1e9, 4)
+        extra["files_ratio"] = round(len(fres.deflate) / len(fdata), 4)
     if os.environ.get("BENCH_DEVICE_METRICS", "1") != "0":
         # Secondary honest metrics (fetch-barrier timed, utils/profiling.py):
         # device-bound batched throughput (what the chip does once host link

@@ -144,7 +144,7 @@ RANGES = _split_cfg(NQ).ranges
 
 
 def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: CompressionOptions,
-                 with_checksums: bool = True):
+                 with_checksums: bool = True, stored_payload_fields: bool = True):
     """Encode one chunk. See module docstring for the layout.
 
     Args:
@@ -158,6 +158,13 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
         sharded pipeline wants them (host may never touch payload bytes);
         host-driven paths skip them and use the native C checksums instead
         (runtime/native.py) — the device CRC tree is ~30% of encode time.
+      stored_payload_fields: emit the stored sub-block fields into the
+        packed words.  The COMPACTED consumers (corpus flat mode, sharded
+        compact mode) never read a stored chunk's device words (used = 0;
+        the host re-emits stored chunks from the raw payload), so they pass
+        False and drop E/4 fields from every chunk's bit pack — ~11% of the
+        pack's sort rows.  total_bits/data_bits stay exact either way (the
+        stored size comes from the cost model, not the pack).
 
     Returns dict with the packed bitstream words, total bit count, chosen
     block type, token count, and (if requested) checksum partials.
@@ -720,25 +727,26 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     last_sub = jnp.maximum(n_sub - 1, 0)
     sub_final = (sub_k == last_sub) & is_last
     st_segments_v, st_segments_b = [], []
-    p = buf[HALO : HALO + E].astype(jnp.uint32)
-    pwords = p[0::4] | (p[1::4] << 8) | (p[2::4] << 16) | (p[3::4] << 24)
-    wj = jnp.arange(E // 4, dtype=jnp.int32)
-    for k in range(n_sub_static):
-        on = is_stored & sub_present[k]
-        sh_v = jnp.stack(
-            [
-                sub_final[k].astype(jnp.uint32),  # hdr: BFINAL | (00 << 1)
-                jnp.zeros((), jnp.uint32),  # pad to byte
-                sub_len[k].astype(jnp.uint32),  # LEN
-                (~sub_len[k]).astype(jnp.uint32) & 0xFFFF,  # NLEN
-            ]
-        )
-        sh_b = jnp.where(on, _const(_SH_BITS), 0)
-        lo, hi = k * SB // 4, min((k + 1) * SB, E) // 4
-        pb_v = pwords[lo:hi]
-        pb_b = jnp.where(on, 8 * jnp.clip(n - 4 * wj[lo:hi], 0, 4), 0)
-        st_segments_v += [sh_v, pb_v]
-        st_segments_b += [sh_b, pb_b]
+    if stored_payload_fields:
+        p = buf[HALO : HALO + E].astype(jnp.uint32)
+        pwords = p[0::4] | (p[1::4] << 8) | (p[2::4] << 16) | (p[3::4] << 24)
+        wj = jnp.arange(E // 4, dtype=jnp.int32)
+        for k in range(n_sub_static):
+            on = is_stored & sub_present[k]
+            sh_v = jnp.stack(
+                [
+                    sub_final[k].astype(jnp.uint32),  # hdr: BFINAL | (00 << 1)
+                    jnp.zeros((), jnp.uint32),  # pad to byte
+                    sub_len[k].astype(jnp.uint32),  # LEN
+                    (~sub_len[k]).astype(jnp.uint32) & 0xFFFF,  # NLEN
+                ]
+            )
+            sh_b = jnp.where(on, _const(_SH_BITS), 0)
+            lo, hi = k * SB // 4, min((k + 1) * SB, E) // 4
+            pb_v = pwords[lo:hi]
+            pb_b = jnp.where(on, 8 * jnp.clip(n - 4 * wj[lo:hi], 0, 4), 0)
+            st_segments_v += [sh_v, pb_v]
+            st_segments_b += [sh_b, pb_b]
 
     # [5] sync-flush marker for non-final chunks (empty stored block,
     # compress.rs:257-262): header 000, pad to byte, 0x0000, 0xFFFF.
@@ -759,6 +767,16 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # Sized for the worst *legal* output of the active mode (see out_words).
     num_words = out_words(E, force_fixed=options.special == SpecialOptions.ForceFixed)
     words, total_bits = pack_fields(values, nbits, num_words)
+    if not stored_payload_fields:
+        # Stored chunks emitted no fields (their words are never read by the
+        # compacted consumers); their exact size comes from the cost model —
+        # the same data_bits + sync invariant the packed total satisfies for
+        # Huffman chunks.
+        sync_bits = jnp.where(is_last, 0, 3 + sync_pad + 32)
+        total_bits = jnp.where(
+            is_stored, (data_bits + sync_bits).astype(total_bits.dtype),
+            total_bits,
+        )
 
     out = {
         "words": words,

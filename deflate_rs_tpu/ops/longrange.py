@@ -346,23 +346,27 @@ def local_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
 
     wi = jnp.arange(LW, dtype=jnp.int32)
 
-    # STATICALLY UNROLLED per-(segment, dominant) shifted slices.  Both a
-    # vmapped dynamic_slice (lowers to a row gather: ~2 us/row on TPU) and a
-    # fori_loop (~10 us per iteration of while-structure overhead on the
-    # tunnel platform) were measured to dwarf the actual work; S*M
-    # independent contiguous slices in one program schedule at bandwidth.
-    # The shifted word row for (s, d) is phases[(W+s*L-d) & 3] at word
-    # offset (W+s*L-d) >> 2 — P[x] covers bytes x..x+3, so this is the
-    # byte-granular compare evaluated on the segment's 4-aligned grid.
-    xor_rows = []
-    for s in range(S):
+    # Vmapped per-(segment, dominant) shifted slices.  The shifted word row
+    # for (s, d) is phases[(W+s*L-d) & 3] at word offset (W+s*L-d) >> 2 —
+    # P[x] covers bytes x..x+3, so this is the byte-granular compare
+    # evaluated on the segment's 4-aligned grid.  NOTE: this XLA form is
+    # the CPU/reference path only; on TPU every formulation of these S*M
+    # dynamic-offset fetches hits a ~2 us/op device floor (vmapped rows,
+    # fori collect, and a statically-unrolled variant all measured +2.3
+    # ms/chunk — scripts/probes/lr_substage.py), which is why the
+    # measurement runs as a Mosaic kernel there (ops/lr_kernel.py, used by
+    # local_dominant_lengths_tpu; bit-identical, tested).
+    def seg_rows(s, ds):
         base = jax.lax.dynamic_slice(base_w, [s * (L // 4)], [LW])
-        for m in range(M):
-            d = doms[s, m]
+
+        def one(d):
             off = WINDOW_SIZE + s * L - d
             sh = jax.lax.dynamic_slice(phases, [off & 3, off >> 2], [1, LW])[0]
-            xor_rows.append(base ^ sh)
-    xors = jnp.stack(xor_rows).reshape(S, M, LW)
+            return base ^ sh
+
+        return jax.vmap(one)(ds)
+
+    xors = jax.vmap(seg_rows)(jnp.arange(S, dtype=jnp.int32), doms)
 
     # Batched packed-prefix run scan over ALL pairs at once (the batched
     # cummin runs at ~0.15 ns/element; a per-pair scan does not).

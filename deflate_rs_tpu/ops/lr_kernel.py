@@ -78,6 +78,7 @@ def _kernel(doms_ref, phases_ref, base_ref, run_ref, dist_ref, xn_ref, *,
     )
     pad_bad = flat >= valid_w  # beyond the exactness window: force mismatch
 
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     for s in range(S):
         base = base_ref[0, pl.ds((s * L_words) // LANES, SEG_ROWS), :]
         drow = doms_ref[0, pl.ds(s, 1), :]  # (1, 128) this segment's doms
@@ -85,7 +86,9 @@ def _kernel(doms_ref, phases_ref, base_ref, run_ref, dist_ref, xn_ref, *,
 
         def m_body(m, acc):
             acc_run, acc_dist, acc_xn = acc
-            d = pltpu.roll(drow, LANES - m, 1)[0, 0]  # lane-m extraction
+            # Lane-m extraction as a masked reduce (a dynamic-amount roll
+            # costs a multi-stage shuffle; the reduce is 2 cheap vector ops).
+            d = jnp.sum(jnp.where(lane1 == m, drow, 0))
             off = c_s - d
             q0 = off >> 2
             rowstart = (off & 3) * NPr + (q0 >> 7)
@@ -96,15 +99,20 @@ def _kernel(doms_ref, phases_ref, base_ref, run_ref, dist_ref, xn_ref, *,
             x = jnp.where(pad_bad, jnp.uint32(1), x)
             full = x == 0
             mb = _mb(x)
-            cnt = full.astype(jnp.int32)
-            tmb = jnp.where(full, 0, mb)
+            # (cnt, tmb) packed as cnt*8 + tmb (tmb <= 4 < 8): each doubling
+            # pass is ONE flat shift instead of two — rolls are the kernel's
+            # cost (lane shuffles), so this halves the scan's roll count.
+            # Composition: cnt[w] == step extends with the successor state
+            # plus 8*step full words.
+            packed = jnp.where(full, 8, mb)
             step = 1
             while step <= 64:
-                ext = cnt == step
-                cnt = cnt + jnp.where(ext, _shift_flat(_z(cnt), step), 0)
-                tmb = jnp.where(ext, _shift_flat(_z(tmb), step), tmb)
+                ext = (packed >> 3) == step
+                packed = jnp.where(
+                    ext, _shift_flat(_z(packed), step) + 8 * step, packed
+                )
                 step *= 2
-            run0 = 4 * cnt + tmb
+            run0 = ((packed >> 3) << 2) + (packed & 7)
             better = (d > 0) & (run0 > acc_run)
             acc_run = jnp.where(better, run0, acc_run)
             acc_dist = jnp.where(better, d, acc_dist)

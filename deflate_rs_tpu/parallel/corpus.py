@@ -74,7 +74,11 @@ def _corpus_encoder_flat(options: CompressionOptions, emit_size: int, batch: int
 
     E = emit_size
     fn = functools.partial(
-        encode_chunk, emit_size=E, options=options, with_checksums=False
+        encode_chunk, emit_size=E, options=options, with_checksums=False,
+        # The compacted fetch never reads a stored chunk's device words
+        # (used = 0; the splicer re-emits them from the raw payload), so the
+        # encoder skips their E/4 pack fields entirely.
+        stored_payload_fields=False,
     )
 
     def run(payload, prev_tail, hist, ns, lasts):

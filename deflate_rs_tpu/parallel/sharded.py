@@ -73,7 +73,12 @@ def make_sharded_encoder(mesh, options: CompressionOptions, emit_size: int,
       compact=False: words: uint32[B, W] full per-chunk word rows
     """
     encode = jax.vmap(
-        functools.partial(encode_chunk, emit_size=emit_size, options=options)
+        functools.partial(
+            encode_chunk, emit_size=emit_size, options=options,
+            # Compact mode never reads stored chunks' device words (used=0);
+            # skipping their pack fields shrinks every chunk's bit pack.
+            stored_payload_fields=not compact,
+        )
     )
 
     def local_step(bufs, hist_lens, ns, is_lasts):
