@@ -261,6 +261,7 @@ def main():
         "platform": platform,
         "encoded_mb": n >> 20,
         "seconds": round(secs, 3),
+        "runs": run_secs,
         "ratio": round(len(res.deflate) / n, 4),
         **extra,
     }

@@ -198,7 +198,17 @@ def global_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
 
 
 def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1):
-    """Per-segment top-M harvested distances by frequency: [S, M], 0 inert."""
+    """Per-segment top-M harvested distances by frequency: [S, M], 0 inert.
+
+    Slots whose frequency is 0 are masked to 0 (they would otherwise hold
+    arbitrary duplicates of already-selected runs — non-run-start rows that
+    top_k reached after the distinct runs were exhausted).  Because top_k
+    orders by frequency descending, the LIVE dominants of every segment form
+    a prefix of its row — the Mosaic measurement kernel (lr_kernel.py) uses
+    that to bound its per-segment loop at the live count, which is what makes
+    sparse-harvest content (plain text: few distinct capped-claim distances)
+    pay almost nothing for the pass (VERDICT r3 item 1's density gating).
+    """
     dc = d_cand.reshape(S, -1)[:, ::harvest_stride]
     LC = dc.shape[1]
     rows = jnp.sort(dc, axis=1)
@@ -214,7 +224,8 @@ def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1):
     )
     freq = jnp.where(change & (rows > 0), end - start, 0)
     topf, top_i = jax.lax.top_k(freq, M)
-    return jnp.take_along_axis(rows, top_i, axis=1), topf
+    vals = jnp.take_along_axis(rows, top_i, axis=1)
+    return jnp.where(topf > 0, vals, 0), topf
 
 
 def _finish_from_winner(run_q, dist_q, run_n, dist_n, xor_n, N: int,

@@ -82,6 +82,13 @@ def _kernel(doms_ref, phases_ref, base_ref, run_ref, dist_ref, xn_ref, *,
     for s in range(S):
         base = base_ref[0, pl.ds((s * L_words) // LANES, SEG_ROWS), :]
         drow = doms_ref[0, pl.ds(s, 1), :]  # (1, 128) this segment's doms
+        # Live dominants form a PREFIX of the row (freq-descending selection
+        # masks dead slots to 0 — longrange._select_dominants), so the loop
+        # runs only to the live count: segments whose harvest found few
+        # distinct capped-claim distances (homogeneous text) skip most of
+        # the measurement work.  Identical output: a d == 0 iteration can
+        # never win (`better` requires d > 0).
+        m_cnt = jnp.sum((drow != 0).astype(jnp.int32))
         c_s = WINDOW_SIZE + s * L_words * 4  # static
 
         def m_body(m, acc):
@@ -125,7 +132,9 @@ def _kernel(doms_ref, phases_ref, base_ref, run_ref, dist_ref, xn_ref, *,
             jnp.zeros((SEG_ROWS, LANES), jnp.int32),
             jnp.zeros((SEG_ROWS, LANES), jnp.uint32),
         )
-        acc_run, acc_dist, acc_xn = jax.lax.fori_loop(0, M, m_body, init)
+        acc_run, acc_dist, acc_xn = jax.lax.fori_loop(
+            0, jnp.minimum(m_cnt, M), m_body, init
+        )
         run_ref[0, pl.ds(s * SEG_ROWS, SEG_ROWS), :] = acc_run
         dist_ref[0, pl.ds(s * SEG_ROWS, SEG_ROWS), :] = acc_dist
         xn_ref[0, pl.ds(s * SEG_ROWS, SEG_ROWS), :] = acc_xn
