@@ -81,7 +81,8 @@ class CompressionOptions:
     # preset surface.
     sort_nkey: int = 0
     # Intra-chunk block splitting: "auto" resolves per preset (off for the
-    # fast family — see num_quarters), "on"/"off" pin it.  Internal knob.
+    # fast family — see num_quarters), "on"/"off" pin it, or a number ("8")
+    # pins the static sub-quarter count directly.  Internal knob.
     block_split: str = "auto"
     # Long-range recovery pass (ops/longrange.py): recovers full-length
     # matches on highly redundant inputs where probe-capped tie-breaking
@@ -271,19 +272,33 @@ class CompressionOptions:
 
     @property
     def num_quarters(self) -> int:
-        """Static quarter count for intra-chunk block splitting (4 or 1).
+        """Static sub-quarter count for intra-chunk block splitting.
 
-        The fast family opts out of splitting: the 4-quarter machinery
-        (per-range histogram prefix sums, composition scoring, 4x header
-        field segments) is a large share of the fast pipeline's device time
-        for a few bytes of ratio (pg11: 68985 split-off vs 68315 split-on at
-        the fast matcher config — both far under zlib-1's 72095).
-        Everything else keeps the 4-way split (the analogue of the reference
-        re-tabling every <= 31744 tokens).
+        The fast family opts out of splitting: the quarter machinery
+        (per-range histogram prefix sums, composition scoring, per-quarter
+        header field segments) is a large share of the fast pipeline's device
+        time for a few bytes of ratio (pg11: 68985 split-off vs 68315
+        split-on at the fast matcher config — both far under zlib-1's 72095).
+
+        Chain-budget presets split at 8 KiB seams (nq=8, 128 compositions) —
+        the round-4 granularity step toward the reference re-tabling every
+        <= 31744 tokens at content boundaries (output_writer.rs:19,
+        compress.rs:186-247).  Measured vs nq=4 (scripts/probes/nq_sweep.py,
+        nq_timing.py): -400..-660 B on ELF corpora, -5,043 B (5.2%) on 8 KiB
+        text/binary alternation (where nq=4 default LOSES to zlib-6), +60 B
+        on pg11; device +0.08 ms/chunk at default, +0.47 at high (exact
+        scoring pays R=36 ranges vs 10).  nq=16 measured <0.4% further gain
+        for another doubling of the machinery — not taken.  rle/huffman_only
+        keep nq=4 (no matcher; their split value is content-shift entropy
+        only).
         """
+        if self.block_split not in ("auto", "on", "off"):
+            return int(self.block_split)
         if self.block_split != "auto":
             return 4 if self.block_split == "on" else 1
-        return 1 if self.fast_family else 4
+        if self.fast_family:
+            return 1
+        return 8 if self.matcher_mode == "hash" else 4
 
     @property
     def use_long_range(self) -> bool:

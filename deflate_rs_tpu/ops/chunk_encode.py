@@ -131,6 +131,9 @@ class _SplitCfg:
             [[self.range_id[c[t]] if t < len(c) else 0 for c in comps] for t in range(nq)],
             np.int32,
         )  # [t][comp] -> range id of the t-th block (exact-scoring reuse)
+        self.comp_ranges = np.array(
+            [[1 if r in c else 0 for r in self.ranges] for c in comps], np.int32
+        )  # [comp][range] membership — composition cost as ONE matvec
 
 
 @functools.lru_cache(maxsize=None)
@@ -458,9 +461,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # Composition search: cheapest grouping of quarters into blocks.  sc.comps
     # is sorted by block count, and argmin takes the first minimum, so equal
     # score prefers fewer blocks (degenerating to one whole-chunk block).
-    comp_cost = jnp.stack([
-        sum(range_score[sc.range_id[r]] for r in comp) for comp in sc.comps
-    ])
+    comp_cost = jnp.tensordot(_const(sc.comp_ranges), range_score, axes=[[1], [0]])
     comp_cost = jnp.where(
         force_fix, jnp.where(jnp.arange(len(sc.comps)) == 0, comp_cost, jnp.int32(1 << 30)), comp_cost
     )

@@ -1,6 +1,6 @@
-"""TPU device cost of budgeted long-range configs for DEFAULT (r4 item 1).
+"""TPU device cost of nq=8 block-split sub-quarters (VERDICT r3 item 9).
 
-Full default encode, fetch-barrier timed, B=16, 64 KiB chunks, pg11 text.
+Full encode, fetch-barrier timed, B=16, 64 KiB chunks, pg11 text.
 """
 
 from __future__ import annotations
@@ -31,23 +31,18 @@ def main():
     B = int(os.environ.get("STAGE_BATCH", "16"))
     E = int(os.environ.get("STAGE_EMIT", "65536"))
     bufs, hist, ns, lasts = build_inputs(B, E)
-    base = CompressionOptions.default()
-    high = CompressionOptions.high()
     variants = {
-        "lr-off": base,
-        "M32S32x1st4": replace(base, long_range="on", num_dom=32, dom_segs=32,
-                               dom_iters=1, lr_stride=4),
-        "M32S32x1st1": replace(base, long_range="on", num_dom=32, dom_segs=32,
-                               dom_iters=1, lr_stride=1),
-        "default(st2)": base,  # the production config: M32/S32/x1/stride2
-        "high(M48S32x2)": high,
+        "default nq4": replace(CompressionOptions.default(), block_split="4"),
+        "default nq8": replace(CompressionOptions.default(), block_split="8"),
+        "high nq4": replace(CompressionOptions.high(), block_split="4"),
+        "high nq8": replace(CompressionOptions.high(), block_split="8"),
     }
-    print(f"platform={jax.default_backend()} B={B} E={E}")
+    print(f"platform={jax.default_backend()} B={B} E={E}", flush=True)
     for name, opts in variants.items():
         fn = jax.jit(jax.vmap(functools.partial(
             ce.encode_chunk, emit_size=E, options=opts, with_checksums=False)))
         t = sync_time(fn, bufs, hist, ns, lasts, iters=12)
-        print(f"{name:10s}: {t*1e3/B:7.3f} ms/chunk ({E/(t/B)/1e9:.4f} GB/s)",
+        print(f"{name:12s}: {t*1e3/B:7.3f} ms/chunk ({E/(t/B)/1e9:.4f} GB/s)",
               flush=True)
 
 
