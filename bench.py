@@ -237,14 +237,14 @@ def main():
             t1s = sync_time(
                 enc, bufs[:1], hist[:1], ns[:1], lasts[:1], iters=8
             )
-            extra = {
+            extra.update({
                 "device_gbps": round(batch * chunk / tb / 1e9, 4),
                 "device_ms_per_chunk_batched": round(tb * 1e3 / batch, 3),
                 "device_ms_per_chunk_single": round(t1s * 1e3, 3),
                 "batch_speedup": round(t1s * batch / tb, 2),
-            }
+            })
         except Exception as e:  # noqa: BLE001
-            extra = {"device_metrics_error": f"{type(e).__name__}: {e}"}
+            extra["device_metrics_error"] = f"{type(e).__name__}: {e}"
 
     here = os.path.dirname(os.path.abspath(__file__))
     last_tpu_path = os.path.join(here, "BENCH_LAST_TPU.json")

@@ -97,3 +97,25 @@ def test_default_beats_zlib6(name):
     assert ours <= z6 * DEFAULT_CEILING[name], (
         f"default {ours} > zlib-6 {z6} on {name}"
     )
+
+
+# Fast regression ceilings: absolute sizes measured at the round-4 config
+# (greedy K=1, PW=4, nk=1, nq=1, no long-range — scripts/probes/
+# fast_ratio_sweep.py).  Fast's external contract is the reference's fast
+# (1 greedy hash check, compression_options.rs:141-148), which no in-image
+# oracle reproduces, so these pins only stop silent regressions; tighten on
+# improvement.
+FAST_CEILING = {
+    "bash_elf": 57541, "doc_text": 43559, "issue18": 33097,
+    "json_cfg": 12595, "libc_elf": 62340, "pg11": 54125, "py_source": 43070,
+}
+
+
+@pytest.mark.parametrize("name", sorted(FAST_CEILING))
+def test_fast_regression_ceiling(name):
+    if name not in CORPORA:
+        pytest.skip(f"{name} not in image")
+    ours = len(dt.deflate_bytes_conf(CORPORA[name], CompressionOptions.fast()))
+    assert ours <= FAST_CEILING[name], (
+        f"fast {ours} > pinned {FAST_CEILING[name]} on {name}"
+    )
