@@ -121,3 +121,48 @@ def test_kernel_path_matches_xla_formulation():
     )
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def test_kernel_density_gating_edges():
+    """The gated kernel loop (live-dominant prefix count, lr_kernel.py) must
+    be exact at both edges: segments with ZERO live dominants (empty
+    harvest — the loop runs 0 iterations) and segments with every slot
+    live, mixed in one chunk."""
+    import jax
+
+    from deflate_rs_tpu.ops.longrange import (
+        _select_dominants, local_dominant_lengths, local_dominant_lengths_tpu,
+    )
+
+    rng = np.random.default_rng(11)
+    N = 4096
+    S, M = 8, 4
+    data = np.tile(rng.integers(32, 127, N // 8, dtype=np.uint8), 8)
+    data[1100:1400] = data[64:364]
+    buf = jnp.asarray(np.concatenate([data, np.zeros(4200, np.uint8)]))
+    d_cand = np.zeros(N, np.int32)
+    # Segment 2 (positions 1024..1535): MORE distinct distances than M.
+    d_cand[1100:1400] = np.asarray([1036, 1037, 1038, 1039, 1040])[
+        np.arange(300) % 5
+    ]
+    # All other segments: empty harvest -> zero live dominants.
+    doms, topf = _select_dominants(jnp.asarray(d_cand), S, M)
+    doms = np.asarray(doms)
+    topf = np.asarray(topf)
+    # Dead slots are masked to 0 and live ones form a prefix per segment.
+    assert (doms[topf == 0] == 0).all()
+    live = doms != 0
+    assert (np.diff(live.astype(int), axis=1) <= 0).all(), "live not a prefix"
+    assert (live[2].sum()) == M and live[[0, 1, 3, 4, 5, 6, 7]].sum() == 0
+
+    ref = local_dominant_lengths(
+        buf, N, jnp.int32(N), jnp.int32(0), jnp.asarray(d_cand),
+        num_dom=M, num_seg=S,
+    )
+    got = local_dominant_lengths_tpu(
+        buf, N, jnp.int32(N), jnp.int32(0), jnp.asarray(d_cand),
+        num_dom=M, num_seg=S, interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    assert int(np.asarray(ref[0])[1100]) >= 258 - 0  # the copy is claimed
