@@ -313,9 +313,18 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # OFF unless explicitly enabled; kept tested as the measured record.
     import os as _os
 
+    # Mosaic TPU block shapes must tile (8, 128): the per-quarter row count
+    # E/(128*nq) must itself divide by 8 (or nq == 1, where the block IS the
+    # whole array).  E=4096/nq=8 (the small-emit tier) violates it — caught
+    # by the on-TPU sweep (scripts/tpu_validate.py); the XLA path serves
+    # those shapes.
+    def _quarter_tiles_ok():
+        rq = E // (128 * sc.nq)
+        return E % (128 * sc.nq) == 0 and (sc.nq == 1 or rq % 8 == 0)
+
     use_hist_kernel = (
         jax.default_backend() == "tpu"
-        and E % (128 * sc.nq) == 0
+        and _quarter_tiles_ok()
         and _os.environ.get("DEFLATE_TPU_HIST_KERNEL", "0") == "1"
     )
     if use_hist_kernel:
@@ -639,7 +648,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # nonzero (the only bits that reach the stream); tests/test_field_kernel.py.
     use_field_kernel = (
         jax.default_backend() == "tpu"
-        and E % (128 * sc.nq) == 0
+        and _quarter_tiles_ok()
         and _os.environ.get("DEFLATE_TPU_FIELD_KERNEL", "1") != "0"
     )
     if use_field_kernel:
