@@ -141,8 +141,9 @@ def _split_cfg(nq: int) -> _SplitCfg:
     return _SplitCfg(nq)
 
 
-# Default-config aliases (timing/debug scripts import these).
-NQ = 4
+# Default-config aliases (timing/debug scripts import these) — derived from
+# the default preset so they cannot drift from what production runs.
+NQ = CompressionOptions.default().num_quarters
 RANGES = _split_cfg(NQ).ranges
 
 
@@ -180,6 +181,11 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     n_total = HALO + n
     hstart = HALO - hist_len
     sc = _split_cfg(options.num_quarters)
+    # Quarter slices (histograms, token field segments) require exact
+    # division; a non-divisor nq would silently drop tail-position fields
+    # and emit a corrupt stream, so fail loudly (reachable only through the
+    # numeric block_split override).
+    assert E % sc.nq == 0, (E, sc.nq, "emit_size must divide by num_quarters")
 
     # ------------------------------------------------------------------ LZ77
     mode = options.matcher_mode

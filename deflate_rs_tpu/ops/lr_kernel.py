@@ -176,8 +176,12 @@ def lr_measure_batched(doms, phases_rows, base_rows, N: int,
     """Winner (run0, dist, xor-next) per segment word for a batch.
 
     Args:
-      doms: int32[B, S, 128] per-segment dominant distances, lane-padded
-        with zeros (0 = inert); M = lanes actually used <= 128.
+      doms: int32[B, S, 128] per-segment dominant distances; M = lanes
+        actually used <= 128.  PRECONDITION: each row's live (nonzero)
+        dominants must form a PREFIX of the row — the kernel loop runs only
+        to the per-segment nonzero count, so a zero interleaved before a
+        live dominant would silently skip it.  longrange._select_dominants
+        guarantees this (freq-descending top_k with dead slots masked).
       phases_rows: uint32[B, 4*NPr, 128] the four phase tables as lane rows.
       base_rows: uint32[B, BR, 128] the chunk's 4-aligned word grid
         (BR >= S*L_words/128 + SEG_ROWS).

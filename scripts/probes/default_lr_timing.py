@@ -34,7 +34,10 @@ def main():
     base = CompressionOptions.default()
     high = CompressionOptions.high()
     variants = {
-        "lr-off": base,
+        # NOTE: since the r4 auto flip, the plain default resolves
+        # long_range=ON — lr-off must be pinned explicitly (an earlier
+        # version of this probe compared default against itself).
+        "lr-off": replace(base, long_range="off"),
         "M32S32x1st4": replace(base, long_range="on", num_dom=32, dom_segs=32,
                                dom_iters=1, lr_stride=4),
         "M32S32x1st1": replace(base, long_range="on", num_dom=32, dom_segs=32,

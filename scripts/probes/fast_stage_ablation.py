@@ -13,13 +13,11 @@ from __future__ import annotations
 import functools
 import os
 import sys
-from dataclasses import replace
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 try:
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
