@@ -275,11 +275,12 @@ def main():
                 json.dump(result, f)
         except OSError:
             pass
-    elif os.path.exists(last_tpu_path):
+    elif platform != "tpu" and os.path.exists(last_tpu_path):
         # CPU fallback (TPU tunnel down): the CPU number is NOT the
         # framework's throughput — attach the most recent real-TPU result,
         # clearly labeled, so the record distinguishes "slow" from
-        # "hardware unavailable".
+        # "hardware unavailable".  (A real-TPU run under a non-default env
+        # knob is neither: it just skips the snapshot write.)
         try:
             with open(last_tpu_path) as f:
                 result["last_tpu"] = json.load(f)
