@@ -223,9 +223,26 @@ def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1):
         axis=1, reverse=True,
     )
     freq = jnp.where(change & (rows > 0), end - start, 0)
-    topf, top_i = jax.lax.top_k(freq, M)
-    vals = jnp.take_along_axis(rows, top_i, axis=1)
-    return jnp.where(topf > 0, vals, 0), topf
+    # Top-M by frequency WITHOUT lax.top_k: one single-operand row sort
+    # replaces the take_along_axis + top_k pair.  freq <= row width
+    # (< 4096) and distance values < 65536, so (freq << 16 | value) packs
+    # exactly into int32; sorting it descending yields the top-M
+    # (freq, value) pairs, dead slots (freq 0) below any live one.
+    # Composite win on TPU (scripts/probes/default_lr_timing.py, pg11
+    # B=16): default st2 1.478 -> 1.445 ms/chunk, st1 1.764 -> 1.504 (the
+    # top_k cost scaled with harvest width).  Tie-break among equal
+    # frequencies is by LARGER distance (top_k took smaller row index =
+    # smaller distance) — measured ratio-neutral-to-better on every
+    # in-image corpus (worst margin 0.9969 -> 0.9954, json_cfg -48 B;
+    # pg11 goldens unchanged).
+    packed = (freq << 16) | rows
+    top = jax.lax.sort(packed, dimension=1, is_stable=False)[:, ::-1][:, :M]
+    if top.shape[1] < M:  # fewer harvest columns than requested dominants
+        top = jnp.concatenate(
+            [top, jnp.zeros((S, M - top.shape[1]), top.dtype)], axis=1
+        )
+    topf = top >> 16
+    return jnp.where(topf > 0, top & 0xFFFF, 0), topf
 
 
 def _finish_from_winner(run_q, dist_q, run_n, dist_n, xor_n, N: int,

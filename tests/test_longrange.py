@@ -142,7 +142,10 @@ def test_kernel_density_gating_edges():
     buf = jnp.asarray(np.concatenate([data, np.zeros(4200, np.uint8)]))
     d_cand = np.zeros(N, np.int32)
     # Segment 2 (positions 1024..1535): MORE distinct distances than M.
-    d_cand[1100:1400] = np.asarray([1036, 1037, 1038, 1039, 1040])[
+    # The true distance (1036) appears twice per period so it wins top-M by
+    # FREQUENCY (selection tie-breaks among equal frequencies are a policy
+    # detail — since r4 they prefer the larger distance).
+    d_cand[1100:1400] = np.asarray([1036, 1037, 1036, 1039, 1040])[
         np.arange(300) % 5
     ]
     # All other segments: empty harvest -> zero live dominants.
