@@ -12,7 +12,8 @@ hash chain), capped at a TPU-friendly static width.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass
+import os
+from dataclasses import dataclass, field
 
 HIGH_MAX_HASH_CHECKS = 1768
 HIGH_LAZY_IF_LESS_THAN = 128
@@ -24,6 +25,20 @@ DEFAULT_LAZY_IF_LESS_THAN = 32
 # are rarely profitable and cost K-proportional probe bandwidth.  Measured on
 # pg11: K=128 (default preset) already beats zlib -6, K=256 beats zlib -9.
 KERNEL_MAX_CANDIDATES = 256
+
+
+def _gate_on_unless_0(name: str):
+    """Kernel-gate default: on unless the env var is "0" (read ONCE, at
+    options construction — never inside traced code, so two processes with
+    different env vars hold *different options objects* with different
+    cache keys instead of silently tracing different programs for "the
+    same" options; VERDICT r4 item 8)."""
+    return lambda: "off" if os.environ.get(name, "1") == "0" else "on"
+
+
+def _gate_off_unless_1(name: str):
+    """Kernel-gate default: off unless the env var is "1" (see above)."""
+    return lambda: "on" if os.environ.get(name, "0") == "1" else "off"
 
 
 class MatchingType(enum.Enum):
@@ -122,6 +137,21 @@ class CompressionOptions:
     # deeper tie-group candidates with exact LCP.  "auto" resolves per
     # preset; "off" disables; or a comma list like "4,5,6,7".  Internal.
     sa_tail: str = "auto"
+    # Mosaic-kernel gates ("on"/"off"), resolved from the DEFLATE_TPU_*
+    # env vars ONCE at options construction (VERDICT r4 item 8: no
+    # os.environ reads inside encode_chunk; the gates are part of
+    # cache_key so differently-gated options never share a trace).  The
+    # kernels are bit-identical to the XLA stages they replace (tests/
+    # test_{longrange,hist_kernel,field_kernel}.py); the gates exist to
+    # keep the A/B measurement record runnable (scripts/probes/
+    # kernel_ab.py).  Defaults ship the measured composite winners:
+    # lr/field ON, hist OFF (docs/perf_notes.md round 4).
+    lr_kernel: str = field(
+        default_factory=_gate_on_unless_0("DEFLATE_TPU_LR_KERNEL"))
+    hist_kernel: str = field(
+        default_factory=_gate_off_unless_1("DEFLATE_TPU_HIST_KERNEL"))
+    field_kernel: str = field(
+        default_factory=_gate_on_unless_0("DEFLATE_TPU_FIELD_KERNEL"))
 
     @staticmethod
     def default() -> "CompressionOptions":
@@ -293,7 +323,17 @@ class CompressionOptions:
         only).
         """
         if self.block_split not in ("auto", "on", "off"):
-            return int(self.block_split)
+            nq = int(self.block_split)
+            # Validate HERE, not via the encoder's assert (which disappears
+            # under ``python -O``): quarter slicing requires nq to divide
+            # every emit size, and every supported emit size is a power of
+            # two >= 4096, so require a power of two in [1, 32].
+            if nq < 1 or nq > 32 or (nq & (nq - 1)) != 0:
+                raise ValueError(
+                    f"block_split={self.block_split!r}: numeric override "
+                    "must be a power of two in [1, 32]"
+                )
+            return nq
         if self.block_split != "auto":
             return 4 if self.block_split == "on" else 1
         if self.fast_family:
@@ -380,4 +420,5 @@ class CompressionOptions:
              self.resolved_dom_iters, self.lr_global, self.resolved_lr_stride)
             if self.use_long_range else (0, 0, 0, 0, 0),
             self.resolved_sa_tail,
+            (self.lr_kernel, self.hist_kernel, self.field_kernel),
         )

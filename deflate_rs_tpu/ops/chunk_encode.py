@@ -210,8 +210,6 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
             # anchor matcher fed this too — measured to add nothing once
             # the harvest came from the main matcher's capped claims, and
             # deleted.)
-            import os as _os
-
             from .longrange import (
                 global_dominant_lengths, local_dominant_lengths,
                 local_dominant_lengths_tpu,
@@ -223,7 +221,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
                 jax.default_backend() == "tpu"
                 and not options.lr_global
                 and N % (4 * 128 * options.resolved_dom_segs) == 0
-                and _os.environ.get("DEFLATE_TPU_LR_KERNEL", "1") != "0"
+                and options.lr_kernel == "on"
             )
             cap = 4 * options.probe_words
             d_cand = jnp.where(best_len >= cap, best_dist, 0)
@@ -317,8 +315,6 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     # a small composite LOSS (+0.02-0.04 ms/chunk at default/fast — the XLA
     # one-hot hides under the matcher; scripts/probes/kernel_ab.py), so it is
     # OFF unless explicitly enabled; kept tested as the measured record.
-    import os as _os
-
     # Mosaic TPU block shapes must tile (8, 128): the per-quarter row count
     # E/(128*nq) must itself divide by 8 (or nq == 1, where the block IS the
     # whole array).  E=4096/nq=8 (the small-emit tier) violates it — caught
@@ -331,7 +327,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     use_hist_kernel = (
         jax.default_backend() == "tpu"
         and _quarter_tiles_ok()
-        and _os.environ.get("DEFLATE_TPU_HIST_KERNEL", "0") == "1"
+        and options.hist_kernel == "on"
     )
     if use_hist_kernel:
         from .hist_kernel import quarter_histograms
@@ -655,7 +651,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
     use_field_kernel = (
         jax.default_backend() == "tpu"
         and _quarter_tiles_ok()
-        and _os.environ.get("DEFLATE_TPU_FIELD_KERNEL", "1") != "0"
+        and options.field_kernel == "on"
     )
     if use_field_kernel:
         from .field_kernel import token_fields

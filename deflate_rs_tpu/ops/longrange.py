@@ -211,6 +211,16 @@ def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1):
     """
     dc = d_cand.reshape(S, -1)[:, ::harvest_stride]
     LC = dc.shape[1]
+    # The packed (freq << 16 | value) selection below needs freq < 2^15 to
+    # stay positive in int32; freq <= row width, so an out-of-range config
+    # (e.g. dom_segs=1 with stride 1 at N=65536+) must fail loudly here
+    # instead of silently mis-ranking dominants (ADVICE r4).  Shapes are
+    # static, so this is a trace-time check, not a device op.
+    if LC >= (1 << 15):
+        raise ValueError(
+            f"dominant-selection row width {LC} >= 2^15 overflows the "
+            "packed freq<<16 sort; raise dom_segs or harvest_stride"
+        )
     rows = jnp.sort(dc, axis=1)
     ii = jnp.arange(LC, dtype=jnp.int32)[None, :]
     change = jnp.concatenate(

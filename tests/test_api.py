@@ -44,6 +44,57 @@ def test_option_values_mirror_reference():
     assert d.special == SpecialOptions.Normal
 
 
+def test_kernel_gates_resolve_into_options(monkeypatch):
+    """The DEFLATE_TPU_*_KERNEL env gates are read once at options
+    construction and distinguish the options (and their trace-cache
+    identity) — no os.environ reads inside encode_chunk (VERDICT r4
+    item 8)."""
+    base = CompressionOptions.default()
+    assert (base.lr_kernel, base.hist_kernel, base.field_kernel) == (
+        "on", "off", "on",
+    )  # shipped composite winners (docs/perf_notes.md round 4)
+    monkeypatch.setenv("DEFLATE_TPU_LR_KERNEL", "0")
+    monkeypatch.setenv("DEFLATE_TPU_HIST_KERNEL", "1")
+    monkeypatch.setenv("DEFLATE_TPU_FIELD_KERNEL", "0")
+    gated = CompressionOptions.default()
+    assert (gated.lr_kernel, gated.hist_kernel, gated.field_kernel) == (
+        "off", "on", "off",
+    )
+    assert gated != base
+    assert gated.cache_key() != base.cache_key()
+    assert hash(gated) != hash(base)  # lru_cache (trace cache) identity
+    # The encoder itself never consults the environment at trace time.
+    import inspect
+
+    from deflate_rs_tpu.ops import chunk_encode
+
+    assert "environ" not in inspect.getsource(chunk_encode.encode_chunk)
+
+
+def test_numeric_block_split_validated():
+    """Non-power-of-two block_split fails loudly in num_quarters itself,
+    not via an encoder assert that vanishes under ``python -O``
+    (ADVICE r4)."""
+    for bad in ("3", "5", "0", "64", "-4"):
+        with pytest.raises(ValueError):
+            CompressionOptions(block_split=bad).num_quarters
+    assert CompressionOptions(block_split="8").num_quarters == 8
+    assert CompressionOptions(block_split="16").num_quarters == 16
+
+
+def test_lr_selection_width_guard():
+    """Out-of-range dominant-selection rows raise instead of silently
+    mis-ranking (ADVICE r4: freq << 16 must stay in int32)."""
+    import jax.numpy as jnp
+
+    from deflate_rs_tpu.ops.longrange import _select_dominants
+
+    with pytest.raises(ValueError, match="2\\^15"):
+        _select_dominants(jnp.zeros(1 << 16, jnp.int32), 1, 4, 1)
+    # In-range shapes pass (regression for the check being too eager).
+    _select_dominants(jnp.zeros(1 << 16, jnp.int32), 4, 4, 1)
+
+
 def test_inflate_rejects_corrupt_streams():
     good = dt.deflate_bytes_zlib(DATA)
     with pytest.raises(ValueError):

@@ -104,10 +104,25 @@ def test_default_beats_zlib6(name):
 # fast_ratio_sweep.py).  Fast's external contract is the reference's fast
 # (1 greedy hash check, compression_options.rs:141-148), which no in-image
 # oracle reproduces, so these pins only stop silent regressions; tighten on
-# improvement.
+# improvement.  The absolute pin applies only while the corpus bytes match
+# the recorded content hash (most corpora are environment-derived files —
+# a base-image update must not falsely fail the pin, ADVICE r4); on a hash
+# mismatch the guard falls back to a relative ceiling vs zlib-1 on the
+# same bytes, at the margin measured on the pinned content plus 1%.
 FAST_CEILING = {
-    "bash_elf": 57541, "doc_text": 43559, "issue18": 33097,
-    "json_cfg": 12595, "libc_elf": 62340, "pg11": 54125, "py_source": 43070,
+    "bash_elf": (57541, "eed5d7673ad1ee24"),
+    "doc_text": (43559, "b2b4d09a8af50bbc"),
+    "issue18": (33097, "1d038749034dab1a"),
+    "json_cfg": (12595, "72317e4e3e876043"),
+    "libc_elf": (62340, "c938ec636e78e5a3"),
+    "pg11": (54125, "08dd854305253962"),
+    "py_source": (43070, "64b624f6669ab4d7"),
+}
+# fast / zlib-1 margins on the pinned content (pin / (z1 - 6)):
+FAST_REL_MARGIN = {
+    "bash_elf": 1.0033, "doc_text": 1.0478, "issue18": 0.9862,
+    "json_cfg": 1.7564, "libc_elf": 0.9923, "pg11": 0.9488,
+    "py_source": 0.9938,
 }
 
 
@@ -115,7 +130,18 @@ FAST_CEILING = {
 def test_fast_regression_ceiling(name):
     if name not in CORPORA:
         pytest.skip(f"{name} not in image")
-    ours = len(dt.deflate_bytes_conf(CORPORA[name], CompressionOptions.fast()))
-    assert ours <= FAST_CEILING[name], (
-        f"fast {ours} > pinned {FAST_CEILING[name]} on {name}"
-    )
+    import hashlib
+    import zlib as _z
+
+    data = CORPORA[name]
+    ours = len(dt.deflate_bytes_conf(data, CompressionOptions.fast()))
+    pin, sha = FAST_CEILING[name]
+    if hashlib.sha256(data).hexdigest()[:16] == sha:
+        assert ours <= pin, f"fast {ours} > pinned {pin} on {name}"
+    else:
+        z1 = len(_z.compress(data, 1)) - 6
+        ceil = z1 * FAST_REL_MARGIN[name] * 1.01
+        assert ours <= ceil, (
+            f"fast {ours} > relative ceiling {ceil:.0f} (zlib-1 {z1}) on "
+            f"{name} (content changed; absolute pin skipped)"
+        )
