@@ -24,6 +24,15 @@ import time
 
 import numpy as np
 
+# Weather-anchor reference (VERDICT r4 item 2): fetch-barrier ms for the
+# fixed-shape 16 x 98304 1-key/5-payload sort probe, recorded on the real
+# v5e chip in the round-5 calibration session.  Every bench run re-measures
+# the same probe; device_gbps_normalized = device_gbps * anchor_now /
+# anchor_ref rescales the session's weather to the calibration session, so
+# device numbers are comparable round over round.  None = not yet
+# calibrated (normalized field omitted).
+ANCHOR_REF_MS = 3.282  # calibrated 2026-08-20 (runs 3.282-3.573 over 5)
+
 
 def build_corpus(total_bytes: int, kind: str | None = None) -> bytes:
     """kind="synthetic" (default, or BENCH_CORPUS): a Silesia-like mix built
@@ -233,16 +242,72 @@ def main():
             # iters amortizes the single end-of-run fetch barrier (~31 ms
             # tunnel RTT); at iters=3 that inflates per-chunk time by
             # ~0.6 ms.  16 iterations bound the inflation at ~0.12 ms/chunk.
-            tb = sync_time(enc, bufs, hist, ns, lasts, iters=16)
+            # Best-of-3 WITH the spread recorded (VERDICT r4 item 2): the
+            # tunnel session's "weather" moves identical compiled code ~20%
+            # between sessions, so single device samples are not
+            # round-over-round comparable.
+            dev_runs = [
+                round(sync_time(enc, bufs, hist, ns, lasts, iters=16) * 1e3
+                      / batch, 3)
+                for _ in range(3)
+            ]
+            tb = min(dev_runs) * 1e-3 * batch
             t1s = sync_time(
                 enc, bufs[:1], hist[:1], ns[:1], lasts[:1], iters=8
             )
             extra.update({
                 "device_gbps": round(batch * chunk / tb / 1e9, 4),
                 "device_ms_per_chunk_batched": round(tb * 1e3 / batch, 3),
+                "device_ms_per_chunk_runs": dev_runs,
                 "device_ms_per_chunk_single": round(t1s * 1e3, 3),
                 "batch_speedup": round(t1s * batch / tb, 2),
             })
+
+            # ---- weather anchor (VERDICT r4 item 2): two fixed references
+            # measured every run so device numbers are comparable across
+            # sessions.  (a) a fixed-shape sort probe (the pipeline's
+            # dominant primitive class, no encoder code involved): its
+            # compiled cost is constant, so any drift IS the session
+            # weather.  (b) lr-off Default — the same compiled encoder
+            # round 3's 0.068 GB/s record ran, pinning the codec-change vs
+            # weather split.  device_gbps_normalized rescales by the sort
+            # anchor against its recorded reference.
+            rngp = np.random.default_rng(7)
+            key = jax.device_put(rngp.integers(0, 1 << 31, (16, 98304),
+                                               dtype=np.int32))
+            pays = jax.device_put(rngp.integers(0, 1 << 31, (5, 16, 98304),
+                                                dtype=np.int32))
+
+            def _sort_probe(k, p):
+                ops = jax.lax.sort([k] + [p[i] for i in range(5)],
+                                   dimension=1, num_keys=1, is_stable=True)
+                return ops[0]
+
+            anchor_runs = [
+                round(sync_time(_sort_probe, key, pays, iters=16) * 1e3, 3)
+                for _ in range(3)
+            ]
+            anchor_ms = min(anchor_runs)
+            extra["anchor_sort_ms"] = anchor_ms
+            extra["anchor_sort_runs"] = anchor_runs
+            if ANCHOR_REF_MS is not None and platform == "tpu":
+                extra["anchor_ref_ms"] = ANCHOR_REF_MS
+                extra["device_gbps_normalized"] = round(
+                    extra["device_gbps"] * anchor_ms / ANCHOR_REF_MS, 4
+                )
+            if os.environ.get("BENCH_LR_OFF_ROW", "1") != "0":
+                enc_off = jax.vmap(functools.partial(
+                    ce.encode_chunk, emit_size=chunk,
+                    options=CompressionOptions(long_range="off"),
+                    with_checksums=False,
+                ))
+                off_runs = [
+                    round(sync_time(enc_off, bufs, hist, ns, lasts, iters=16)
+                          * 1e3 / batch, 3)
+                    for _ in range(2)
+                ]
+                extra["lr_off_ms_per_chunk"] = min(off_runs)
+                extra["lr_off_runs"] = off_runs
         except Exception as e:  # noqa: BLE001
             extra["device_metrics_error"] = f"{type(e).__name__}: {e}"
 
@@ -257,7 +322,19 @@ def main():
         ),
         "value": round(gbps, 4),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / 1.0, 4),
+        # The north star (BASELINE.json) is per-CHIP throughput; the honest
+        # comparator is therefore the weather-normalized device-bound
+        # number, not the tunnel-pinned e2e value (VERDICT r4 weak 7).
+        # Falls back to raw device_gbps (no anchor), then e2e (no device
+        # metrics); vs_baseline_basis says which was used.
+        "vs_baseline": round(
+            extra.get("device_gbps_normalized",
+                      extra.get("device_gbps", gbps)) / 1.0, 4
+        ),
+        "vs_baseline_basis": (
+            "device_gbps_normalized" if "device_gbps_normalized" in extra
+            else ("device_gbps" if "device_gbps" in extra else "e2e_gbps")
+        ),
         "platform": platform,
         "encoded_mb": n >> 20,
         "seconds": round(secs, 3),

@@ -132,6 +132,15 @@ class CompressionOptions:
     # in runs, so a strided sample preserves the frequency ranking at
     # 1/stride the selection-sort cost).  0 = per-preset default.
     lr_stride: int = 0
+    # Dominant-selection policy for the long-range pass ("auto"/"run"/
+    # "freq", longrange._select_dominants).  "auto": "run" for the
+    # default-tier (sa) presets — one full-width sort instead of two, the
+    # LR pass's largest XLA stage — and "freq" for the high preset, whose
+    # ratio contract should not carry longest-run ranking's interleaved-
+    # harvest worst case (a distance split into R runs can crowd the
+    # top-M window; real-corpus margins hold at S=64 but high squeezes
+    # the last 0.1%).  Internal knob.
+    lr_sel: str = "auto"
     # Log-step tail for the suffix-order scan (matching.sa_scan_xla): log2
     # jump sizes appended after the dense scan, reaching exponentially
     # deeper tie-group candidates with exact LCP.  "auto" resolves per
@@ -379,9 +388,20 @@ class CompressionOptions:
 
     @property
     def resolved_dom_segs(self) -> int:
+        """Segment count for the long-range pass (see dom_segs).
+
+        default (sa matcher): 64 — the round-5 contract fix.  The tar_tree
+        corpus (512-byte-aligned tar headers over mixed text/binary) broke
+        the r4 default contract at 1.0017 of zlib-6; S=64 + harvest stride
+        1 with run-based dominant selection closes it (0.9994) and
+        improves every other corpus (json_cfg 0.9883 -> 0.9950 under the
+        cheaper run selection, sqlite_db -> 0.9872; docs/perf_notes.md
+        round 5).  Shorter segments are also what keeps longest-run
+        ranking faithful to frequency ranking (runs interleave less).
+        high (hash matcher): 32 — its sweep saturated there (r4)."""
         if self.dom_segs:
             return self.dom_segs
-        return 32
+        return 32 if self.matcher_algo == "hash" else 64
 
     @property
     def resolved_dom_iters(self) -> int:
@@ -391,10 +411,23 @@ class CompressionOptions:
 
     @property
     def resolved_lr_stride(self) -> int:
-        """Harvest subsample stride for the long-range pass (see lr_stride)."""
+        """Harvest subsample stride for the long-range pass (see lr_stride).
+
+        Round 5: stride 1 everywhere — the run-based dominant selection
+        (longrange._select_dominants sel="run") deleted the ascending
+        value sort, so the full-width harvest costs one [S, LC] sort
+        instead of two at twice the width, and the stride-2 fidelity loss
+        (part of the r4 tar_tree contract hole) is gone."""
         if self.lr_stride:
             return self.lr_stride
-        return 1 if self.matcher_algo == "hash" else 2
+        return 1
+
+    @property
+    def resolved_lr_sel(self) -> str:
+        """Dominant-selection policy (see lr_sel)."""
+        if self.lr_sel != "auto":
+            return self.lr_sel
+        return "freq" if self.matcher_algo == "hash" else "run"
 
     @property
     def resolved_sort_nkey(self) -> int:
@@ -417,8 +450,9 @@ class CompressionOptions:
             self.num_quarters,
             self.use_long_range,
             (self.resolved_num_dom, self.resolved_dom_segs,
-             self.resolved_dom_iters, self.lr_global, self.resolved_lr_stride)
-            if self.use_long_range else (0, 0, 0, 0, 0),
+             self.resolved_dom_iters, self.lr_global, self.resolved_lr_stride,
+             self.resolved_lr_sel)
+            if self.use_long_range else (0, 0, 0, 0, 0, ""),
             self.resolved_sa_tail,
             (self.lr_kernel, self.hist_kernel, self.field_kernel),
         )

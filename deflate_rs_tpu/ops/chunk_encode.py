@@ -233,6 +233,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
                         num_dom=options.resolved_num_dom,
                         num_seg=options.resolved_dom_segs,
                         harvest_stride=options.resolved_lr_stride,
+                        sel=options.resolved_lr_sel,
                     )
                 elif options.lr_global:
                     g_len, g_dist = global_dominant_lengths(
@@ -241,6 +242,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
                         num_seg=options.resolved_dom_segs,
                         num_global=options.lr_global,
                         harvest_stride=options.resolved_lr_stride,
+                        sel=options.resolved_lr_sel,
                     )
                 else:
                     g_len, g_dist = local_dominant_lengths(
@@ -248,6 +250,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
                         num_dom=options.resolved_num_dom,
                         num_seg=options.resolved_dom_segs,
                         harvest_stride=options.resolved_lr_stride,
+                        sel=options.resolved_lr_sel,
                     )
                 take = g_len > best_len
                 best_len = jnp.where(take, g_len, best_len)

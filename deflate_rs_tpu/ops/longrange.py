@@ -73,7 +73,7 @@ def _matched_low_bytes(x):
 
 
 def union_dominants(d_cand, num_seg: int, num_dom: int, num_global: int, *,
-                    harvest_stride: int = 4):
+                    harvest_stride: int = 4, sel: str = "freq"):
     """Static-width union of per-segment dominant distances.
 
     Per-segment top-``num_dom`` selection exactly as in
@@ -84,7 +84,7 @@ def union_dominants(d_cand, num_seg: int, num_dom: int, num_global: int, *,
     over the whole chunk, which is a superset of the local design's claims.
     """
     S, M, D = num_seg, num_dom, num_global
-    doms, topf = _select_dominants(d_cand, S, M, harvest_stride)
+    doms, topf = _select_dominants(d_cand, S, M, harvest_stride, sel=sel)
 
     # Union to D static slots ranked by TOTAL frequency: sort the S*M
     # (value, freq) pairs by value, sum freqs over equal-value runs (scan
@@ -111,7 +111,8 @@ def union_dominants(d_cand, num_seg: int, num_dom: int, num_global: int, *,
 
 def global_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
                             num_dom: int = 4, num_seg: int = 32,
-                            num_global: int = 64, harvest_stride: int = 4):
+                            num_global: int = 64, harvest_stride: int = 4,
+                            sel: str = "freq"):
     """Per-position lengths at the chunk's unioned dominant distances.
 
     The gather-free sibling of :func:`local_dominant_lengths`: instead of
@@ -133,7 +134,7 @@ def global_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
     limit = jnp.clip(n_total - idx, 0, MAX_MATCH)
 
     dlist = union_dominants(d_cand, num_seg, num_dom, D,
-                            harvest_stride=harvest_stride)
+                            harvest_stride=harvest_stride, sel=sel)
 
     # Packed words + phase views (see local_dominant_lengths).
     d8 = jnp.concatenate(
@@ -197,31 +198,47 @@ def global_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
     return jnp.where(ok, b_len, 0), jnp.where(ok, b_dist, 0)
 
 
-def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1):
-    """Per-segment top-M harvested distances by frequency: [S, M], 0 inert.
+def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1,
+                      sel: str = "freq"):
+    """Per-segment top-M harvested distances: [S, M], 0 inert.
 
-    Slots whose frequency is 0 are masked to 0 (they would otherwise hold
-    arbitrary duplicates of already-selected runs — non-run-start rows that
-    top_k reached after the distinct runs were exhausted).  Because top_k
-    orders by frequency descending, the LIVE dominants of every segment form
-    a prefix of its row — the Mosaic measurement kernel (lr_kernel.py) uses
-    that to bound its per-segment loop at the live count, which is what makes
-    sparse-harvest content (plain text: few distinct capped-claim distances)
-    pay almost nothing for the pass (VERDICT r3 item 1's density gating).
+    Two selection policies (both mask dead slots to 0 and order live
+    dominants as a count-descending PREFIX of the row — the Mosaic
+    measurement kernel (lr_kernel.py) bounds its per-segment loop at the
+    live count, which is what makes sparse-harvest content (plain text)
+    pay almost nothing for the pass; ties prefer the larger distance, the
+    r4 flip, measured ratio-neutral-to-better):
+
+    ``sel="freq"`` (rounds 3-4): TOTAL frequency per distinct distance —
+    an ascending value sort, run-sum over the sorted rows, then a packed
+    (freq << 16 | value) descending sort.  TWO [S, LC] sorts.
+
+    ``sel="run"`` (round 5): LONGEST CONTIGUOUS RUN per distance, counted
+    directly in position order (capped claims arrive in runs — the same
+    observation harvest_stride exploits), so the ONLY [S, LC] sort is the
+    packed descending selection; run detection is elementwise scan work.
+    A distance split across several runs is ranked by its longest one;
+    top-M rows are then deduped (an [S, M, M] compare — M is small) and
+    re-compacted with a tiny [S, M] sort to restore the live-prefix
+    invariant.  Halves the selection's full-width sort cost — the LR
+    pass's largest XLA-side stage (scripts/probes/lr_overhead.py:
+    isolated selection ~0.30 ms/chunk of the pass's ~0.46 at B=16).
+    Ratio: measured equal-or-better on every in-image corpus at the
+    round-5 budget (docs/perf_notes.md round 5).
     """
     dc = d_cand.reshape(S, -1)[:, ::harvest_stride]
     LC = dc.shape[1]
-    # The packed (freq << 16 | value) selection below needs freq < 2^15 to
-    # stay positive in int32; freq <= row width, so an out-of-range config
-    # (e.g. dom_segs=1 with stride 1 at N=65536+) must fail loudly here
-    # instead of silently mis-ranking dominants (ADVICE r4).  Shapes are
-    # static, so this is a trace-time check, not a device op.
+    # The packed (count << 16 | value) selection below needs count < 2^15
+    # to stay positive in int32; count <= row width, so an out-of-range
+    # config (e.g. dom_segs=1 with stride 1 at N=65536+) must fail loudly
+    # here instead of silently mis-ranking dominants (ADVICE r4).  Shapes
+    # are static, so this is a trace-time check, not a device op.
     if LC >= (1 << 15):
         raise ValueError(
             f"dominant-selection row width {LC} >= 2^15 overflows the "
             "packed freq<<16 sort; raise dom_segs or harvest_stride"
         )
-    rows = jnp.sort(dc, axis=1)
+    rows = dc if sel == "run" else jnp.sort(dc, axis=1)
     ii = jnp.arange(LC, dtype=jnp.int32)[None, :]
     change = jnp.concatenate(
         [jnp.ones((S, 1), bool), rows[:, 1:] != rows[:, :-1]], axis=1
@@ -233,24 +250,21 @@ def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1):
         axis=1, reverse=True,
     )
     freq = jnp.where(change & (rows > 0), end - start, 0)
-    # Top-M by frequency WITHOUT lax.top_k: one single-operand row sort
-    # replaces the take_along_axis + top_k pair.  freq <= row width
-    # (< 4096) and distance values < 65536, so (freq << 16 | value) packs
-    # exactly into int32; sorting it descending yields the top-M
-    # (freq, value) pairs, dead slots (freq 0) below any live one.
-    # Composite win on TPU (scripts/probes/default_lr_timing.py, pg11
-    # B=16): default st2 1.478 -> 1.445 ms/chunk, st1 1.764 -> 1.504 (the
-    # top_k cost scaled with harvest width).  Tie-break among equal
-    # frequencies is by LARGER distance (top_k took smaller row index =
-    # smaller distance) — measured ratio-neutral-to-better on every
-    # in-image corpus (worst margin 0.9969 -> 0.9954, json_cfg -48 B;
-    # pg11 goldens unchanged).
     packed = (freq << 16) | rows
     top = jax.lax.sort(packed, dimension=1, is_stable=False)[:, ::-1][:, :M]
     if top.shape[1] < M:  # fewer harvest columns than requested dominants
         top = jnp.concatenate(
             [top, jnp.zeros((S, M - top.shape[1]), top.dtype)], axis=1
         )
+    if sel == "run":
+        # Dedup: a distance with several runs may occupy several top-M
+        # slots; keep its highest-ranked slot only, then re-compact so the
+        # live dominants stay a prefix (the kernel's density-gate
+        # precondition).
+        v = top & 0xFFFF
+        dup = jnp.tril(v[:, :, None] == v[:, None, :], k=-1).any(axis=2)
+        top = jnp.where(dup, 0, top)
+        top = jax.lax.sort(top, dimension=1, is_stable=False)[:, ::-1]
     topf = top >> 16
     return jnp.where(topf > 0, top & 0xFFFF, 0), topf
 
@@ -291,7 +305,7 @@ def _finish_from_winner(run_q, dist_q, run_n, dist_n, xor_n, N: int,
 
 def local_dominant_lengths_tpu(buf, N: int, n_total, hstart, d_cand, *,
                                num_dom: int = 8, num_seg: int = 16,
-                               harvest_stride: int = 1,
+                               harvest_stride: int = 1, sel: str = "freq",
                                interpret: bool = False):
     """Kernel-backed local dominant pass (bit-identical to the XLA form).
 
@@ -304,7 +318,7 @@ def local_dominant_lengths_tpu(buf, N: int, n_total, hstart, d_cand, *,
     S, M = num_seg, num_dom
     assert N % (4 * S) == 0 and (N // (4 * S)) % LANES == 0
     L_words = N // (4 * S)
-    doms, _ = _select_dominants(d_cand, S, M, harvest_stride)
+    doms, _ = _select_dominants(d_cand, S, M, harvest_stride, sel=sel)
 
     # Word tables as lane rows (see lr_kernel docstring).
     slack = 4 * (SEG_ROWS + 1) * LANES + 64
@@ -336,7 +350,7 @@ def local_dominant_lengths_tpu(buf, N: int, n_total, hstart, d_cand, *,
 
 def local_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
                            num_dom: int = 8, num_seg: int = 16,
-                           harvest_stride: int = 1):
+                           harvest_stride: int = 1, sel: str = "freq"):
     """Per-position match lengths at each SEGMENT's dominant distances.
 
     Args:
@@ -366,7 +380,7 @@ def local_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
     limit = jnp.clip(n_total - idx, 0, MAX_MATCH)
 
     # ---------------- per-segment top-M candidate distances by frequency
-    doms, _ = _select_dominants(d_cand, S, M, harvest_stride)
+    doms, _ = _select_dominants(d_cand, S, M, harvest_stride, sel=sel)
 
     # --------------------------- phase-decomposed packed words, word space
     # P[x] = bytes x..x+3 little-endian.  Right-pad so the last segment's

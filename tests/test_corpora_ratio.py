@@ -64,6 +64,26 @@ def _corpora():
         out["pg11"] = f.read()[:CAP]
     with open(os.path.join(DATA_DIR, "issue_18_201911.bin"), "rb") as f:
         out["issue18"] = f.read()
+    # Round-5 classes (VERDICT r4 item 5): an sqlite database file and a
+    # tar of a mixed source tree (512-byte-aligned headers over text +
+    # binary — the class that exposed the r4 default-contract hole at
+    # 1.0017 of zlib-6, closed by the S=64/stride-1 LR budget).
+    if os.path.exists("/usr/share/proj/proj.db"):
+        with open("/usr/share/proj/proj.db", "rb") as f:
+            out["sqlite_db"] = f.read()[:CAP]
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as t:
+        total = 0
+        for p in sorted(glob.glob(os.path.join(npdir, "**", "*"), recursive=True)):
+            if os.path.isfile(p):
+                t.add(p, arcname=os.path.relpath(p, npdir))
+                total += os.path.getsize(p)
+            if total > CAP:
+                break
+    out["tar_tree"] = buf.getvalue()[:CAP]
     return out
 
 
@@ -85,7 +105,7 @@ def test_high_beats_zlib9_and_zlib6(name):
 # dead — VERDICT r3 item 1).
 DEFAULT_CEILING = {name: 1.0 for name in (
     "libc_elf", "bash_elf", "pg11", "issue18", "doc_text", "py_source",
-    "json_cfg",
+    "json_cfg", "sqlite_db", "tar_tree",
 )}
 
 

@@ -169,3 +169,71 @@ def test_kernel_density_gating_edges():
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
     assert int(np.asarray(ref[0])[1100]) >= 258 - 0  # the copy is claimed
+
+
+def test_run_selection_invariants_and_equivalence():
+    """The round-5 "run" selection policy (one full-width sort; longest
+    contiguous run per distance) must preserve the kernel's preconditions:
+    dead slots 0, live dominants a prefix, no duplicate distances — and
+    the kernel path must stay bit-identical to the XLA path under it."""
+    import jax
+
+    from deflate_rs_tpu.ops.longrange import (
+        _select_dominants, local_dominant_lengths, local_dominant_lengths_tpu,
+    )
+
+    # Adversarial interleaving: one distance in many length-1 runs crowds
+    # the pre-dedup window — run selection keeps it ONCE (deduped) and the
+    # live set stays a clean prefix.  (The freq policy sees 4 distinct
+    # dominants here; that fidelity difference is why the high preset
+    # resolves lr_sel="freq" — compression_options.resolved_lr_sel.)
+    d_cand = np.zeros(4096, np.int32)
+    d_cand[1100:1400] = np.asarray([1036, 1037, 1036, 1039, 1040])[
+        np.arange(300) % 5
+    ]
+    doms, topf = _select_dominants(jnp.asarray(d_cand), 8, 4, sel="run")
+    doms = np.asarray(doms)
+    topf = np.asarray(topf)
+    assert (doms[topf == 0] == 0).all()
+    live = doms != 0
+    assert (np.diff(live.astype(int), axis=1) <= 0).all(), "live not a prefix"
+    for row in doms:
+        nz = row[row != 0]
+        assert len(set(nz.tolist())) == len(nz), "duplicate dominant"
+
+    # Contiguous runs rank by their length: a 40-long run must beat
+    # shorter ones into slot 0.
+    d2 = np.zeros(4096, np.int32)
+    d2[100:140] = 900   # run of 40
+    d2[200:210] = 1200  # run of 10
+    d2[300:304] = 1500  # run of 4
+    doms2, topf2 = _select_dominants(jnp.asarray(d2), 8, 4, sel="run")
+    assert np.asarray(doms2)[0, 0] == 900
+    assert np.asarray(topf2)[0, 0] == 40
+    assert set(np.asarray(doms2)[0][:3].tolist()) == {900, 1200, 1500}
+
+    # Kernel/XLA bit-equivalence holds under the new policy too.
+    rng = np.random.default_rng(7)
+    N = 4096
+    S, M = 8, 6
+    base = rng.integers(32, 127, N // 8, dtype=np.uint8)
+    data = np.tile(base, 8).astype(np.uint8)
+    for (src, dst, ln) in ((64, 1100, 258), (500, 2100, 300), (40, 3803, 97)):
+        data[dst : dst + ln] = data[src : src + ln]
+    buf = jnp.asarray(np.concatenate([data, np.zeros(4200, np.uint8)]))
+    d_cand3 = np.zeros(N, np.int32)
+    d_cand3[1100:1350:3] = 1036
+    d_cand3[2100:2390:5] = 1600
+    d_cand3[3803:3890:2] = 3763
+    d_cand3[::17] = 700
+    ref = local_dominant_lengths(
+        buf, N, jnp.int32(N), jnp.int32(0), jnp.asarray(d_cand3),
+        num_dom=M, num_seg=S, sel="run",
+    )
+    got = local_dominant_lengths_tpu(
+        buf, N, jnp.int32(N), jnp.int32(0), jnp.asarray(d_cand3),
+        num_dom=M, num_seg=S, sel="run",
+        interpret=jax.default_backend() != "tpu",
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
