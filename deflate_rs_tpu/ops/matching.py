@@ -192,7 +192,10 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
     # ------------------------------------------------ unsort + chain extend
     # Un-permute via a second sort keyed by position: spos is a permutation
     # of iota, so sorting (spos, best) restores position order.  Measured ~2x
-    # faster than the XLA scatter on TPU (scripts/unsort_microbench.py).
+    # faster than the honestly-hinted XLA scatter on TPU (0.359 vs 0.737
+    # ms/chunk, scripts/probes/unsort_microbench.py; a round-1 note claiming
+    # a 0.046 ms hinted scatter was reconciled in round 5 — that measurement
+    # set indices_are_sorted=True on a permutation, spec-UB).
     score_pos = jax.lax.sort([spos, best], num_keys=1, is_stable=False)[1]
     blen = jnp.minimum(score_pos >> 16, limit)
     bdist = jnp.where(score_pos > 0, WINDOW_SIZE + 1 - (score_pos & 0xFFFF), 0)
