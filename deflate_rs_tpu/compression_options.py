@@ -190,6 +190,22 @@ class CompressionOptions:
         )
 
     @staticmethod
+    def turbo() -> "CompressionOptions":
+        """Maximum-throughput tier (beyond the reference's surface): one
+        dynamic-Huffman block per chunk, entropy-proxy scored, no match
+        search.  The demonstrated single-chip architecture ceiling —
+        0.359 ms per 64 KiB chunk = 0.183 GB/s on v5e (scripts/probes/
+        ceiling_tier.py, round 5) vs huffman_only's 0.555 (exact scoring,
+        nq=4).  Same legal-DEFLATE output class as huffman_only; ~2.6x
+        the ratio of Default on text (entropy-only).  Use when the input
+        is nearly incompressible or the pipeline is throughput-bound."""
+        return CompressionOptions(
+            max_hash_checks=0, lazy_if_less_than=0,
+            matching_type=MatchingType.Greedy, split_scoring="proxy",
+            block_split="1",
+        )
+
+    @staticmethod
     def rle() -> "CompressionOptions":
         """Run-length (distance 1) matching only (compression_options.rs:171-178)."""
         return CompressionOptions(
@@ -430,6 +446,16 @@ class CompressionOptions:
         return "freq" if self.matcher_algo == "hash" else "run"
 
     @property
+    def resolved_lr_pair(self) -> bool:
+        """Pair-collapse the harvest before dominant selection (longrange.
+        _select_dominants pair=True): halves the selection sort's width
+        while keeping isolated claims a stride-2 subsample drops — the
+        round-5 measurement showed the default contract (tar_tree) hinges
+        on exactly those.  On for the default-tier (sa) presets; the high
+        preset keeps the full-width harvest (ratio flagship)."""
+        return self.matcher_algo != "hash" and self.resolved_lr_stride == 1
+
+    @property
     def resolved_sort_nkey(self) -> int:
         """Sort-key count for the suffix-order matcher (see sort_nkey)."""
         if self.sort_nkey:
@@ -451,8 +477,8 @@ class CompressionOptions:
             self.use_long_range,
             (self.resolved_num_dom, self.resolved_dom_segs,
              self.resolved_dom_iters, self.lr_global, self.resolved_lr_stride,
-             self.resolved_lr_sel)
-            if self.use_long_range else (0, 0, 0, 0, 0, ""),
+             self.resolved_lr_sel, self.resolved_lr_pair)
+            if self.use_long_range else (0, 0, 0, 0, 0, "", False),
             self.resolved_sa_tail,
             (self.lr_kernel, self.hist_kernel, self.field_kernel),
         )

@@ -234,6 +234,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
                         num_seg=options.resolved_dom_segs,
                         harvest_stride=options.resolved_lr_stride,
                         sel=options.resolved_lr_sel,
+                        pair=options.resolved_lr_pair,
                     )
                 elif options.lr_global:
                     g_len, g_dist = global_dominant_lengths(
@@ -243,6 +244,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
                         num_global=options.lr_global,
                         harvest_stride=options.resolved_lr_stride,
                         sel=options.resolved_lr_sel,
+                        pair=options.resolved_lr_pair,
                     )
                 else:
                     g_len, g_dist = local_dominant_lengths(
@@ -251,6 +253,7 @@ def encode_chunk(buf, hist_len, n, is_last, *, emit_size: int, options: Compress
                         num_seg=options.resolved_dom_segs,
                         harvest_stride=options.resolved_lr_stride,
                         sel=options.resolved_lr_sel,
+                        pair=options.resolved_lr_pair,
                     )
                 take = g_len > best_len
                 best_len = jnp.where(take, g_len, best_len)

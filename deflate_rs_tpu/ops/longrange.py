@@ -73,7 +73,8 @@ def _matched_low_bytes(x):
 
 
 def union_dominants(d_cand, num_seg: int, num_dom: int, num_global: int, *,
-                    harvest_stride: int = 4, sel: str = "freq"):
+                    harvest_stride: int = 4, sel: str = "freq",
+                    pair: bool = False):
     """Static-width union of per-segment dominant distances.
 
     Per-segment top-``num_dom`` selection exactly as in
@@ -84,7 +85,8 @@ def union_dominants(d_cand, num_seg: int, num_dom: int, num_global: int, *,
     over the whole chunk, which is a superset of the local design's claims.
     """
     S, M, D = num_seg, num_dom, num_global
-    doms, topf = _select_dominants(d_cand, S, M, harvest_stride, sel=sel)
+    doms, topf = _select_dominants(d_cand, S, M, harvest_stride, sel=sel,
+                                   pair=pair)
 
     # Union to D static slots ranked by TOTAL frequency: sort the S*M
     # (value, freq) pairs by value, sum freqs over equal-value runs (scan
@@ -112,7 +114,7 @@ def union_dominants(d_cand, num_seg: int, num_dom: int, num_global: int, *,
 def global_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
                             num_dom: int = 4, num_seg: int = 32,
                             num_global: int = 64, harvest_stride: int = 4,
-                            sel: str = "freq"):
+                            sel: str = "freq", pair: bool = False):
     """Per-position lengths at the chunk's unioned dominant distances.
 
     The gather-free sibling of :func:`local_dominant_lengths`: instead of
@@ -134,7 +136,7 @@ def global_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
     limit = jnp.clip(n_total - idx, 0, MAX_MATCH)
 
     dlist = union_dominants(d_cand, num_seg, num_dom, D,
-                            harvest_stride=harvest_stride, sel=sel)
+                            harvest_stride=harvest_stride, sel=sel, pair=pair)
 
     # Packed words + phase views (see local_dominant_lengths).
     d8 = jnp.concatenate(
@@ -199,7 +201,7 @@ def global_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
 
 
 def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1,
-                      sel: str = "freq"):
+                      sel: str = "freq", pair: bool = False):
     """Per-segment top-M harvested distances: [S, M], 0 inert.
 
     Two selection policies (both mask dead slots to 0 and order live
@@ -226,7 +228,22 @@ def _select_dominants(d_cand, S: int, M: int, harvest_stride: int = 1,
     Ratio: measured equal-or-better on every in-image corpus at the
     round-5 budget (docs/perf_notes.md round 5).
     """
-    dc = d_cand.reshape(S, -1)[:, ::harvest_stride]
+    if pair:
+        # PAIR-COLLAPSE halving (round 5): where a stride-2 subsample DROPS
+        # odd-position claims — and the tar_tree contract hinges on a
+        # handful of isolated claims (stride 2 re-broke it by 2-5 bytes at
+        # every budget tried) — the pair reduction keeps a claim if EITHER
+        # position of the pair has one: c = even if even != 0 else odd.
+        # Run lengths halve like stride's, singletons survive.  Measured
+        # contract-equivalent to the full-width harvest on all nine
+        # corpora at half the selection sort's elements (the LR pass's
+        # largest XLA-side cost — docs/perf_notes.md round 5).
+        assert harvest_stride == 1, "pair collapse replaces the stride"
+        dc0 = d_cand.reshape(S, -1)
+        even, odd = dc0[:, 0::2], dc0[:, 1::2]
+        dc = jnp.where(even != 0, even, odd)
+    else:
+        dc = d_cand.reshape(S, -1)[:, ::harvest_stride]
     LC = dc.shape[1]
     # The packed (count << 16 | value) selection below needs count < 2^15
     # to stay positive in int32; count <= row width, so an out-of-range
@@ -306,22 +323,24 @@ def _finish_from_winner(run_q, dist_q, run_n, dist_n, xor_n, N: int,
 def local_dominant_lengths_tpu(buf, N: int, n_total, hstart, d_cand, *,
                                num_dom: int = 8, num_seg: int = 16,
                                harvest_stride: int = 1, sel: str = "freq",
-                               interpret: bool = False):
+                               pair: bool = False, interpret: bool = False):
     """Kernel-backed local dominant pass (bit-identical to the XLA form).
 
     Dominant selection and the byte expansion stay in XLA; the S x M
     shifted-window measurement — the part XLA cannot run below its ~2 us/op
     device floor — runs as ONE Mosaic program (ops/lr_kernel.py).
     """
-    from .lr_kernel import LANES, SEG_ROWS, lr_measure_single
+    from .lr_kernel import LANES, lr_measure_single, seg_rows_for
 
     S, M = num_seg, num_dom
     assert N % (4 * S) == 0 and (N // (4 * S)) % LANES == 0
     L_words = N // (4 * S)
-    doms, _ = _select_dominants(d_cand, S, M, harvest_stride, sel=sel)
+    SR = seg_rows_for(L_words)
+    doms, _ = _select_dominants(d_cand, S, M, harvest_stride, sel=sel,
+                                pair=pair)
 
     # Word tables as lane rows (see lr_kernel docstring).
-    slack = 4 * (SEG_ROWS + 1) * LANES + 64
+    slack = 4 * (SR + 1) * LANES + 64
     d8 = jnp.concatenate(
         [jnp.zeros(WINDOW_SIZE, buf.dtype), buf, jnp.zeros(slack, buf.dtype)]
     ).astype(jnp.uint32)
@@ -332,13 +351,13 @@ def local_dominant_lengths_tpu(buf, N: int, n_total, hstart, d_cand, *,
     phases_rows = jnp.concatenate(
         [phases, jnp.zeros((4, NPr * LANES - NPw), jnp.uint32)], axis=1
     ).reshape(4 * NPr, LANES)
-    BR = N // (4 * LANES) + SEG_ROWS
+    BR = N // (4 * LANES) + SR
     base_flat = P[WINDOW_SIZE : WINDOW_SIZE + 4 * BR * LANES : 4]
     base_rows = base_flat.reshape(BR, LANES)
 
     run_w, dist_w, xor_n = lr_measure_single(
         doms, phases_rows, base_rows, N, interpret=interpret
-    )  # [S, 8*128] segment windows
+    )  # [S, SR*128] segment windows
     run_q = run_w[:, :L_words].reshape(N // 4)
     dist_q = dist_w[:, :L_words].reshape(N // 4)
     run_n = run_w[:, 1 : L_words + 1].reshape(N // 4)
@@ -350,7 +369,8 @@ def local_dominant_lengths_tpu(buf, N: int, n_total, hstart, d_cand, *,
 
 def local_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
                            num_dom: int = 8, num_seg: int = 16,
-                           harvest_stride: int = 1, sel: str = "freq"):
+                           harvest_stride: int = 1, sel: str = "freq",
+                           pair: bool = False):
     """Per-position match lengths at each SEGMENT's dominant distances.
 
     Args:
@@ -380,7 +400,8 @@ def local_dominant_lengths(buf, N: int, n_total, hstart, d_cand, *,
     limit = jnp.clip(n_total - idx, 0, MAX_MATCH)
 
     # ---------------- per-segment top-M candidate distances by frequency
-    doms, _ = _select_dominants(d_cand, S, M, harvest_stride, sel=sel)
+    doms, _ = _select_dominants(d_cand, S, M, harvest_stride, sel=sel,
+                                pair=pair)
 
     # --------------------------- phase-decomposed packed words, word space
     # P[x] = bytes x..x+3 little-endian.  Right-pad so the last segment's

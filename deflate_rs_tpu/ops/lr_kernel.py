@@ -42,7 +42,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import MAX_MATCH, WINDOW_SIZE
 
 LANES = 128
-SEG_ROWS = 8          # 1024-word window per segment (owned + overhang)
+SEG_ROWS = 8          # window rows at the default segment geometry (S=32)
+
+
+def seg_rows_for(L_words: int) -> int:
+    """Window rows for a segment of ``L_words`` owned words: the owned words
+    plus the MAX_MATCH overhang, rounded up to whole 128-lane rows.  Round-5
+    parameterization: at S=64 (the default preset's contract budget) the
+    segment needs only 4 rows, halving the kernel's per-(s, m) vector work
+    and its output stores vs the fixed 8-row window.
+    """
+    valid_w = L_words + (MAX_MATCH + 6) // 4 + 1
+    return -(-valid_w // LANES)
 
 
 def _mb(x):
@@ -54,16 +65,16 @@ def _mb(x):
     return m0.astype(jnp.int32) + m1 + m2 + m3
 
 
-def _shift_flat(a9, step):
-    """Flat-order shift of an (SEG_ROWS+1, 128) tile whose last row is the
+def _shift_flat(a9, step, SR):
+    """Flat-order shift of an (SR+1, 128) tile whose last row is the
     successor row (or zeros): out[j, l] = flat[j*128 + l + step].  One lane
     roll + one select; ``step`` may be traced (0 <= step < 128).  A left
     roll by ``step`` is expressed as a right roll by 128 - step (pltpu.roll
     requires non-negative shifts; 128 == identity)."""
     rolled = pltpu.roll(a9, LANES - step, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SEG_ROWS, LANES), 1)
-    return jnp.where(lane < LANES - step, rolled[:SEG_ROWS],
-                     rolled[1 : SEG_ROWS + 1])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
+    return jnp.where(lane < LANES - step, rolled[:SR],
+                     rolled[1 : SR + 1])
 
 
 def _z(a):
@@ -71,16 +82,16 @@ def _z(a):
 
 
 def _kernel(doms_ref, phases_ref, base_ref, run_ref, dist_ref, xn_ref, *,
-            S: int, M: int, L_words: int, NPr: int, valid_w: int):
+            S: int, M: int, L_words: int, NPr: int, valid_w: int, SR: int):
     flat = (
-        jax.lax.broadcasted_iota(jnp.int32, (SEG_ROWS, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (SEG_ROWS, LANES), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
     )
     pad_bad = flat >= valid_w  # beyond the exactness window: force mismatch
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     for s in range(S):
-        base = base_ref[0, pl.ds((s * L_words) // LANES, SEG_ROWS), :]
+        base = base_ref[0, pl.ds((s * L_words) // LANES, SR), :]
         drow = doms_ref[0, pl.ds(s, 1), :]  # (1, 128) this segment's doms
         # Live dominants form a PREFIX of the row (freq-descending selection
         # masks dead slots to 0 — longrange._select_dominants), so the loop
@@ -100,8 +111,8 @@ def _kernel(doms_ref, phases_ref, base_ref, run_ref, dist_ref, xn_ref, *,
             q0 = off >> 2
             rowstart = (off & 3) * NPr + (q0 >> 7)
             k = q0 & 127
-            a9 = phases_ref[0, pl.ds(rowstart, SEG_ROWS + 1), :]
-            sh = _shift_flat(a9, k)
+            a9 = phases_ref[0, pl.ds(rowstart, SR + 1), :]
+            sh = _shift_flat(a9, k, SR)
             x = base ^ sh
             x = jnp.where(pad_bad, jnp.uint32(1), x)
             full = x == 0
@@ -116,42 +127,42 @@ def _kernel(doms_ref, phases_ref, base_ref, run_ref, dist_ref, xn_ref, *,
             while step <= 64:
                 ext = (packed >> 3) == step
                 packed = jnp.where(
-                    ext, _shift_flat(_z(packed), step) + 8 * step, packed
+                    ext, _shift_flat(_z(packed), step, SR) + 8 * step, packed
                 )
                 step *= 2
             run0 = ((packed >> 3) << 2) + (packed & 7)
             better = (d > 0) & (run0 > acc_run)
             acc_run = jnp.where(better, run0, acc_run)
             acc_dist = jnp.where(better, d, acc_dist)
-            b_next = _shift_flat(_z(better.astype(jnp.int32)), 1) != 0
+            b_next = _shift_flat(_z(better.astype(jnp.int32)), 1, SR) != 0
             acc_xn = jnp.where(b_next, x, acc_xn)
             return acc_run, acc_dist, acc_xn
 
         init = (
-            jnp.full((SEG_ROWS, LANES), -1, jnp.int32),
-            jnp.zeros((SEG_ROWS, LANES), jnp.int32),
-            jnp.zeros((SEG_ROWS, LANES), jnp.uint32),
+            jnp.full((SR, LANES), -1, jnp.int32),
+            jnp.zeros((SR, LANES), jnp.int32),
+            jnp.zeros((SR, LANES), jnp.uint32),
         )
         acc_run, acc_dist, acc_xn = jax.lax.fori_loop(
             0, jnp.minimum(m_cnt, M), m_body, init
         )
-        run_ref[0, pl.ds(s * SEG_ROWS, SEG_ROWS), :] = acc_run
-        dist_ref[0, pl.ds(s * SEG_ROWS, SEG_ROWS), :] = acc_dist
-        xn_ref[0, pl.ds(s * SEG_ROWS, SEG_ROWS), :] = acc_xn
+        run_ref[0, pl.ds(s * SR, SR), :] = acc_run
+        dist_ref[0, pl.ds(s * SR, SR), :] = acc_dist
+        xn_ref[0, pl.ds(s * SR, SR), :] = acc_xn
 
 
 @functools.lru_cache(maxsize=None)
 def _lr_call(B: int, S: int, M: int, L_words: int, NPr: int, BR: int,
-             valid_w: int, interpret: bool = False):
+             valid_w: int, SR: int, interpret: bool = False):
     kern = functools.partial(
-        _kernel, S=S, M=M, L_words=L_words, NPr=NPr, valid_w=valid_w
+        _kernel, S=S, M=M, L_words=L_words, NPr=NPr, valid_w=valid_w, SR=SR
     )
     return pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((B, S * SEG_ROWS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B, S * SEG_ROWS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((B, S * SEG_ROWS, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((B, S * SR, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, S * SR, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, S * SR, LANES), jnp.uint32),
         ),
         grid=(B,),
         in_specs=[
@@ -163,7 +174,7 @@ def _lr_call(B: int, S: int, M: int, L_words: int, NPr: int, BR: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
-            pl.BlockSpec((1, S * SEG_ROWS, LANES), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, S * SR, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(3)
         ),
@@ -184,25 +195,26 @@ def lr_measure_batched(doms, phases_rows, base_rows, N: int,
         guarantees this (freq-descending top_k with dead slots masked).
       phases_rows: uint32[B, 4*NPr, 128] the four phase tables as lane rows.
       base_rows: uint32[B, BR, 128] the chunk's 4-aligned word grid
-        (BR >= S*L_words/128 + SEG_ROWS).
+        (BR >= S*L_words/128 + seg_rows_for(L_words)).
       N: static chunk positions (N % (4*128) == 0).
 
-    Returns (run_w, dist_w, xor_next): [B, S, 8*128] segment windows.
+    Returns (run_w, dist_w, xor_next): [B, S, SR*128] segment windows.
     """
     B, S, M = doms.shape
     L_words = N // (4 * S)
     assert L_words % LANES == 0, (N, S)
     valid_w = L_words + (MAX_MATCH + 6) // 4 + 1
-    assert valid_w <= SEG_ROWS * LANES, (valid_w, "segment too long for window")
+    SR = seg_rows_for(L_words)
+    assert valid_w <= SR * LANES, (valid_w, "segment too long for window")
     NPr = phases_rows.shape[1] // 4
     BR = base_rows.shape[1]
     doms_p = doms if M == LANES else jnp.concatenate(
         [doms, jnp.zeros((B, S, LANES - M), doms.dtype)], axis=2
     )
-    outs = _lr_call(B, S, M, L_words, NPr, BR, valid_w, interpret)(
+    outs = _lr_call(B, S, M, L_words, NPr, BR, valid_w, SR, interpret)(
         doms_p.astype(jnp.int32), phases_rows, base_rows
     )
-    return tuple(o.reshape(B, S, SEG_ROWS * LANES) for o in outs)
+    return tuple(o.reshape(B, S, SR * LANES) for o in outs)
 
 
 @functools.lru_cache(maxsize=None)

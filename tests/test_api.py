@@ -114,3 +114,28 @@ def test_inflate_handles_all_reference_streams():
 
     ref = open(os.path.join(os.path.dirname(__file__), "data", "issue_44.zlib"), "rb").read()
     assert inflate_zlib(ref) == zlib.decompress(ref)
+
+
+def test_turbo_preset_roundtrips():
+    """The turbo tier (max-throughput: huffman-only, one proxy-scored
+    block per chunk) emits valid streams on every content class and sizes
+    like an entropy coder."""
+    import numpy as np
+
+    t = CompressionOptions.turbo()
+    assert t.matcher_mode == "none"
+    assert t.num_quarters == 1 and not t.exact_split_scoring
+    rng = np.random.default_rng(5)
+    for payload in (
+        DATA,
+        b"",
+        b"\x00" * 70000,
+        rng.integers(0, 256, 70000, dtype=np.uint8).tobytes(),
+    ):
+        out = dt.deflate_bytes_conf(payload, t)
+        assert zlib.decompress(out, wbits=-15) == payload
+    # Entropy-only on text: smaller than stored, bigger than default.
+    text = DATA * 20
+    s_turbo = len(dt.deflate_bytes_conf(text, t))
+    s_default = len(dt.deflate_bytes_conf(text, CompressionOptions.default()))
+    assert s_default < s_turbo < len(text)
