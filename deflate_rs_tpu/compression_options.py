@@ -451,9 +451,11 @@ class CompressionOptions:
         _select_dominants pair=True): halves the selection sort's width
         while keeping isolated claims a stride-2 subsample drops — the
         round-5 measurement showed the default contract (tar_tree) hinges
-        on exactly those.  On for the default-tier (sa) presets; the high
-        preset keeps the full-width harvest (ratio flagship)."""
-        return self.matcher_algo != "hash" and self.resolved_lr_stride == 1
+        on exactly those.  On for every stride-1 preset: the high sweep
+        measured contract-clean under it too (worst z9 margin 0.9963,
+        pg11 golden unchanged at 60102, json_cfg -1 B) and its freq
+        selection pays TWO full-width sorts per dom_iters round."""
+        return self.resolved_lr_stride == 1
 
     @property
     def resolved_sort_nkey(self) -> int:

@@ -61,12 +61,14 @@ def main():
     bl, bd, d_cand = map(jax.device_put, (bl, bd, d_cand))
 
     sel = jax.jit(jax.vmap(functools.partial(
-        _select_dominants, S=S, M=M, harvest_stride=stride)))
+        _select_dominants, S=S, M=M, harvest_stride=stride,
+        sel=opts.resolved_lr_sel, pair=opts.resolved_lr_pair)))
 
     def full_lr(buf, h, n, dc):
         return local_dominant_lengths_tpu(
             buf, N, ce.HALO + n, ce.HALO - h, dc,
-            num_dom=M, num_seg=S, harvest_stride=stride)
+            num_dom=M, num_seg=S, harvest_stride=stride,
+            sel=opts.resolved_lr_sel, pair=opts.resolved_lr_pair)
 
     lr = jax.jit(jax.vmap(full_lr))
 
