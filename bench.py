@@ -217,11 +217,13 @@ def main():
             import jax
 
             opts = CompressionOptions.default()
-            # The chip's best batch for raw encode is 16 (1.26 ms/chunk vs
-            # 1.44 at 32 — bigger batches pressure HBM without amortizing
-            # anything the 16-batch doesn't); the e2e batch above is chosen
-            # for link RTT amortization instead.  Separate knobs.
-            batch = max(1, min(batch, 16, (n - ce.HALO - ce.PAD) // chunk))
+            # Device-metric batch: 32.  Round 4 measured 16 as the chip's
+            # best encode batch (1.413@32 vs 1.451@16 read as noise); the
+            # round-5 stage mix reverses it decisively — 1.269@32 vs
+            # 1.395@16 on text, same session (scripts/probes/r5_knobs) —
+            # so the steady-state device number rides B=32.  The recorded
+            # device_batch field keeps cross-round rows interpretable.
+            batch = max(1, min(batch, 32, (n - ce.HALO - ce.PAD) // chunk))
             raw = np.frombuffer(data[: batch * chunk + ce.HALO + ce.PAD], np.uint8)
             # Device-resident inputs: numpy operands would re-upload per
             # timed call through the tunnel and swamp the measurement.
@@ -259,6 +261,7 @@ def main():
                 "device_gbps": round(batch * chunk / tb / 1e9, 4),
                 "device_ms_per_chunk_batched": round(tb * 1e3 / batch, 3),
                 "device_ms_per_chunk_runs": dev_runs,
+                "device_batch": batch,
                 "device_ms_per_chunk_single": round(t1s * 1e3, 3),
                 "batch_speedup": round(t1s * batch / tb, 2),
             })

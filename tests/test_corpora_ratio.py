@@ -137,12 +137,14 @@ FAST_CEILING = {
     "libc_elf": (62340, "c938ec636e78e5a3"),
     "pg11": (54125, "08dd854305253962"),
     "py_source": (43070, "64b624f6669ab4d7"),
+    "sqlite_db": (20538, "7796eebcdc29ffb5"),
+    "tar_tree": (36004, "0c887f33adc313fd"),
 }
 # fast / zlib-1 margins on the pinned content (pin / (z1 - 6)):
 FAST_REL_MARGIN = {
     "bash_elf": 1.0033, "doc_text": 1.0478, "issue18": 0.9862,
     "json_cfg": 1.7564, "libc_elf": 0.9923, "pg11": 0.9488,
-    "py_source": 0.9938,
+    "py_source": 0.9938, "sqlite_db": 1.0279, "tar_tree": 0.9850,
 }
 
 
