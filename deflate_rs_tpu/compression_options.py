@@ -277,6 +277,17 @@ class CompressionOptions:
         zlib -6 on repeated-pg11).
         """
         if self.probe_words_override:
+            # Probe word w reads packed[4w : N+4w]; the chunk buffer carries
+            # PAD = 72 tail bytes (chunk_encode.PAD), so 4*PW <= PAD + 1
+            # => PW <= 18.  Out-of-range overrides previously surfaced as a
+            # confusing unequal-shapes sort error from inside the matcher
+            # (found in the round-5 high sweep) — fail loudly here instead.
+            if not 1 <= self.probe_words_override <= 18:
+                raise ValueError(
+                    f"probe_words_override={self.probe_words_override}: must "
+                    "be in [1, 18] (probe reads are bounded by the chunk "
+                    "buffer's 72-byte tail padding)"
+                )
             return self.probe_words_override
         if self.fast_family:
             # K=1 greedy only ever compares adjacent suffix-order rows;
@@ -391,16 +402,16 @@ class CompressionOptions:
     def resolved_num_dom(self) -> int:
         """Dominant-distance count for the long-range pass (see num_dom).
 
-        high (hash matcher): 48/32-segment/2-round — the corpora sweep
-        saturated there (M64, S64, x3 measured identical); it is what makes
-        the preset <= zlib-9 on every in-image corpus.  default (sa):
-        32/32/1 at harvest stride 2 — the smallest budget that keeps every
-        corpus <= zlib-6 (r4 sweep: worst 0.997), ~1 ms/chunk via the
-        Mosaic kernel.
-        """
+        48 for both tiers as of round 5.  high (hash matcher): the corpora
+        sweep saturated there (M64, S64, x3 measured identical).  default
+        (sa): M=32 held the 128 KiB contract but broke it at larger caps
+        (tar_tree@512K 1.0010, doc_text@1M 1.0004 — found by the round-5
+        margin table); M=48 closes both AND widens the 128 KiB margins
+        (json 0.9879 -> 0.9604, sqlite -> 0.9870) at +0.015 ms/chunk on
+        text (density-gated kernel; dense json pays +0.35, ~15%)."""
         if self.num_dom:
             return self.num_dom
-        return 48 if self.matcher_algo == "hash" else 32
+        return 48
 
     @property
     def resolved_dom_segs(self) -> int:

@@ -111,6 +111,22 @@ def chain_extend(best_len, best_dist, limit, N: int):
     return jnp.where(ok, jnp.maximum(best_len, l_chain), 0)
 
 
+def _probe_schedule(K: int, dense_frac: float = 0.875, growth: float = 0.04):
+    """Chain depths probed by find_matches_hash: ``dense_frac`` of the
+    budget walks the most recent rows densely, the rest continues at
+    geometrically growing spacing (factor 1 + ``growth``), reaching chain
+    depth several times the budget.  dense_frac was retuned 0.75 -> 0.875
+    in round 5: at the same probe count it improved the high preset on
+    EVERY in-image corpus (pg11 60102 -> 60066; worst z9 margin 0.9963 ->
+    0.9961; sweep table in docs/perf_notes.md) — mid-depth density beats
+    maximum reach on this corpus set."""
+    ks, k = [], 1
+    while len(ks) < K:
+        ks.append(k)
+        k += 1 if len(ks) < int(dense_frac * K) else max(1, int(k * growth))
+    return ks
+
+
 def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
                       probe_words: int = PROBE_WORDS):
     """Best (length, distance) at every position of one chunk buffer.
@@ -158,10 +174,7 @@ def find_matches_hash(buf, N: int, n_total, hstart, num_checks: int,
     # independently over the full probe window, so a sparse deep sample
     # still yields exact (capped) lengths.
     K = num_checks
-    ks, k = [], 1
-    while len(ks) < K:
-        ks.append(k)
-        k += 1 if len(ks) < (3 * K) // 4 else max(1, int(k * 0.04))
+    ks = _probe_schedule(K)
     import numpy as _np
 
     ks_arr = _np.array(ks, _np.int32)

@@ -139,3 +139,16 @@ def test_turbo_preset_roundtrips():
     s_turbo = len(dt.deflate_bytes_conf(text, t))
     s_default = len(dt.deflate_bytes_conf(text, CompressionOptions.default()))
     assert s_default < s_turbo < len(text)
+
+
+def test_probe_words_override_validated():
+    """Out-of-range probe widths fail loudly at the options layer instead
+    of surfacing as an unequal-shapes sort error inside the matcher
+    (4 * probe_words is bounded by the chunk buffer's 72-byte PAD)."""
+    for bad in (19, 32, -4):
+        with pytest.raises(ValueError):
+            CompressionOptions(probe_words_override=bad).probe_words
+    # 0 means "per-preset default", not an override.
+    assert CompressionOptions(probe_words_override=0).probe_words == 6
+    assert CompressionOptions(probe_words_override=18).probe_words == 18
+    assert CompressionOptions(probe_words_override=5).probe_words == 5

@@ -167,3 +167,80 @@ def test_fast_regression_ceiling(name):
             f"fast {ours} > relative ceiling {ceil:.0f} (zlib-1 {z1}) on "
             f"{name} (content changed; absolute pin skipped)"
         )
+
+
+# ---------------------------------------------------------------------------
+# Large-input margin guards (VERDICT r4 item 5: the contract was only ever
+# verified at 128 KiB caps; the round-5 margin table found size-scaling
+# breaks).  512 KiB versions of the classes that were thinnest:
+#   - default broke on tar_tree@512K (1.0010) and doc_text@1M (1.0004) at
+#     M=32 dominants; M=48 closes both (and every 128 KiB margin widened).
+#   - high/py_source at >= 512 KiB is a KNOWN measured gap vs zlib-9
+#     (1.0007 of z9 at the round-5 config; z6 margin fine at 0.9958): LR
+#     knobs measured no-op, K-depth saturates (+6 B over at K=512 for 2x
+#     probe cost), schedule retuning recovered -36 B — the falsification
+#     table is in docs/perf_notes.md round 5.  Pinned RELATIVE as a
+#     regression ceiling, not claimed as contract-met.
+# ---------------------------------------------------------------------------
+
+def _corpus_512k(name: str) -> bytes:
+    import io
+    import tarfile
+
+    cap = 512 * 1024
+    if name == "tar_tree":
+        import numpy as _np
+
+        npdir = os.path.dirname(_np.__file__)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as t:
+            total = 0
+            for p in sorted(glob.glob(os.path.join(npdir, "**", "*"), recursive=True)):
+                if os.path.isfile(p):
+                    t.add(p, arcname=os.path.relpath(p, npdir))
+                    total += os.path.getsize(p)
+                if total > cap:
+                    break
+        return buf.getvalue()[:cap]
+    if name == "doc_text":
+        docs = []
+        for p in sorted(glob.glob("/usr/share/doc/*/copyright"))[:2000]:
+            try:
+                docs.append(open(p, "rb").read())
+            except OSError:
+                continue
+            if sum(map(len, docs)) > cap:
+                break
+        return b"".join(docs)[:cap]
+    assert name == "py_source"
+    import numpy as _np
+
+    npdir = os.path.dirname(_np.__file__)
+    py = []
+    for p in sorted(glob.glob(os.path.join(npdir, "**", "*.py"), recursive=True)):
+        py.append(open(p, "rb").read())
+        if sum(map(len, py)) > cap:
+            break
+    return b"".join(py)[:cap]
+
+
+@pytest.mark.parametrize("name", ["tar_tree", "doc_text", "py_source"])
+def test_default_beats_zlib6_at_512k(name):
+    data = _corpus_512k(name)
+    ours = len(dt.deflate_bytes_conf(data, CompressionOptions.default()))
+    z6 = len(zlib.compress(data, 6)) - 6
+    assert ours <= z6, f"default {ours} > zlib-6 {z6} on {name}@512K"
+
+
+def test_high_py_source_512k_known_gap_pinned():
+    data = _corpus_512k("py_source")
+    ours = len(dt.deflate_bytes_conf(data, CompressionOptions.high()))
+    z9 = len(zlib.compress(data, 9)) - 6
+    z6 = len(zlib.compress(data, 6)) - 6
+    assert ours <= z6, "high must still beat zlib-6 at 512K"
+    # Known gap vs z9: 1.0007 measured at the r5 config; guard regression
+    # at +0.05% headroom without claiming the contract holds here.
+    assert ours <= z9 * 1.0012, (
+        f"high {ours} regressed past the pinned known-gap ceiling "
+        f"(z9 {z9}, measured 1.0007)"
+    )

@@ -68,11 +68,13 @@ PG11_GOLDEN_CEILINGS = {
     "fast": 68562,
     # default: sa log-step tail + TOO_FAR=1024 (60429 -> 60236); round-4
     # budgeted long-range pass (-> 60140); nq=8 split seams cost +60 here
-    # and buy -0.4..5 KB on mixed/ELF corpora (scripts/probes/nq_sweep.py).
-    "default": 60200,
+    # and buy -0.4..5 KB on mixed/ELF corpora (scripts/probes/nq_sweep.py);
+    # round-5 M=48 dominants (-> 60196).
+    "default": 60196,
     # high: geometric probe tail + long-range local-dominant pass +
-    # TOO_FAR=1024 (60188 -> 60132); nq=8 seams (-> 60102; zlib-9 is 60385).
-    "high": 60102,
+    # TOO_FAR=1024 (60188 -> 60132); nq=8 seams (-> 60102); round-5
+    # probe-schedule retune dense_frac 0.875 (-> 60066; zlib-9 is 60385).
+    "high": 60066,
     "rle": 97877,
     "huffman_only": 97867,
 }
