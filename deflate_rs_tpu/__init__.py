@@ -24,6 +24,7 @@ from .models.deflate import (
     deflate_bytes_zlib_conf,
 )
 from .models.gzip_header import GzBuilder
+from .models.inflate import inflate, inflate_gzip, inflate_zlib
 from . import write
 
 __all__ = [
@@ -38,6 +39,13 @@ __all__ = [
     "deflate_bytes_zlib_conf",
     "deflate_bytes_gzip",
     "deflate_bytes_gzip_conf",
+    # Decode surface — beyond the reference (it delegates decoding to
+    # miniz_oxide in tests and ships none): a spec-complete host inflate
+    # for all three framings.  The batched on-device decoder lives in
+    # ops/inflate_device.py for TPU-side validation pipelines.
+    "inflate",
+    "inflate_zlib",
+    "inflate_gzip",
     "write",
 ]
 

@@ -152,3 +152,16 @@ def test_probe_words_override_validated():
     assert CompressionOptions(probe_words_override=0).probe_words == 6
     assert CompressionOptions(probe_words_override=18).probe_words == 18
     assert CompressionOptions(probe_words_override=5).probe_words == 5
+
+
+def test_inflate_public_surface():
+    """inflate/inflate_zlib/inflate_gzip are first-class package exports
+    (the reference ships no decoder; ours is a documented capability)."""
+    payload = DATA * 7
+    assert dt.inflate(dt.deflate_bytes(payload)) == payload
+    assert dt.inflate_zlib(dt.deflate_bytes_zlib(payload)) == payload
+    assert dt.inflate_gzip(dt.deflate_bytes_gzip(payload)) == payload
+    # Cross-oracle: decode zlib-module output too.
+    assert dt.inflate_zlib(zlib.compress(payload, 6)) == payload
+    for name in ("inflate", "inflate_zlib", "inflate_gzip"):
+        assert name in dt.__all__
