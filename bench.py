@@ -311,6 +311,26 @@ def main():
                 ]
                 extra["lr_off_ms_per_chunk"] = min(off_runs)
                 extra["lr_off_runs"] = off_runs
+            if os.environ.get("BENCH_TURBO_ROW", "1") != "0":
+                # Demonstrated architecture ceiling as a bench row (VERDICT
+                # r4 item 4): the turbo tier (huffman-only, one proxy-scored
+                # dynamic block) is the fastest legal-DEFLATE configuration
+                # this architecture supports; recording it every run keeps
+                # the ceiling claim an artifact, not a one-off probe.
+                enc_turbo = jax.vmap(functools.partial(
+                    ce.encode_chunk, emit_size=chunk,
+                    options=CompressionOptions.turbo(),
+                    with_checksums=False,
+                ))
+                turbo_runs = [
+                    round(sync_time(enc_turbo, bufs, hist, ns, lasts,
+                                    iters=16) * 1e3 / batch, 3)
+                    for _ in range(2)
+                ]
+                extra["turbo_ms_per_chunk"] = min(turbo_runs)
+                extra["turbo_gbps"] = round(
+                    chunk / (min(turbo_runs) * 1e-3) / 1e9, 4
+                )
         except Exception as e:  # noqa: BLE001
             extra["device_metrics_error"] = f"{type(e).__name__}: {e}"
 
