@@ -84,6 +84,21 @@ def _corpora():
             if total > CAP:
                 break
     out["tar_tree"] = buf.getvalue()[:CAP]
+    # Round-5 (final session) class: concatenated /etc config text — many
+    # short files of mixed prose/structured config (scripts/probes/
+    # new_corpora_r5.py measured default 0.9833 / high 0.9817 of zlib-6).
+    etc = []
+    for p in sorted(q for q in glob.glob("/etc/**/*", recursive=True)
+                    if os.path.isfile(q) and os.access(q, os.R_OK))[:400]:
+        try:
+            with open(p, "rb") as f:
+                etc.append(f.read())
+        except OSError:
+            continue
+        if sum(map(len, etc)) > CAP:
+            break
+    if sum(map(len, etc)) >= 32 * 1024:
+        out["etc_text"] = b"".join(etc)[:CAP]
     return out
 
 
@@ -105,7 +120,7 @@ def test_high_beats_zlib9_and_zlib6(name):
 # dead — VERDICT r3 item 1).
 DEFAULT_CEILING = {name: 1.0 for name in (
     "libc_elf", "bash_elf", "pg11", "issue18", "doc_text", "py_source",
-    "json_cfg", "sqlite_db", "tar_tree",
+    "json_cfg", "sqlite_db", "tar_tree", "etc_text",
 )}
 
 
@@ -139,12 +154,14 @@ FAST_CEILING = {
     "py_source": (43070, "64b624f6669ab4d7"),
     "sqlite_db": (20538, "7796eebcdc29ffb5"),
     "tar_tree": (36004, "0c887f33adc313fd"),
+    "etc_text": (62654, "9eef37032e73dd5a"),
 }
 # fast / zlib-1 margins on the pinned content (pin / (z1 - 6)):
 FAST_REL_MARGIN = {
     "bash_elf": 1.0033, "doc_text": 1.0478, "issue18": 0.9862,
     "json_cfg": 1.7564, "libc_elf": 0.9923, "pg11": 0.9488,
     "py_source": 0.9938, "sqlite_db": 1.0279, "tar_tree": 0.9850,
+    "etc_text": 1.0082,
 }
 
 
