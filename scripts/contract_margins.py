@@ -84,6 +84,17 @@ def corpora(cap: int) -> dict:
             if total > cap:
                 break
     out["tar_tree"] = buf.getvalue()[:cap]
+    etc = []
+    for p in sorted(q for q in glob.glob("/etc/**/*", recursive=True)
+                    if os.path.isfile(q) and os.access(q, os.R_OK))[:4000]:
+        try:
+            etc.append(open(p, "rb").read())
+        except OSError:
+            continue
+        if sum(map(len, etc)) > cap:
+            break
+    if sum(map(len, etc)) >= 32 * 1024:
+        out["etc_text"] = b"".join(etc)[:cap]
     return out
 
 
